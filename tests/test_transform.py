@@ -70,7 +70,7 @@ def test_lookat_quat_points_x_along_direction():
 def test_lookat_quat_degenerate():
     for d, expect_x in [([0, 0, 1.0], [0, 0, 1.0]), ([0, 0, -1.0], [0, 0, -1.0])]:
         q = T.lookat_quat(np.array([d]))
-        np.testing.assert_allclose(T.quat_to_axis(q, 0)[0], expect_x, atol=1e-9)
+        np.testing.assert_allclose(T.quat_to_axis(q, 0)[0], expect_x, atol=1e-8)
 
 
 def test_frame_quat():
