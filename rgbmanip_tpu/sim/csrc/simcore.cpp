@@ -1,0 +1,1326 @@
+// simcore: host-side C++ replacement for the reference's native dependency
+// stack (SAPIEN/PhysX physics, Vulkan renderer, mplib RRT planner, Pinocchio
+// kinematics/IK — see SURVEY.md §2.9). One shared library, C API, driven from
+// Python via ctypes. All batched entry points parallelize across environments
+// on a persistent thread pool; hot loops (trajectory execution, rendering)
+// never return to Python mid-loop, unlike the reference's per-tick python
+// stepping (reference env/sapien_envs/base_manipulation.py:735-815).
+//
+// Physics model (documented deviation from PhysX): joints are PD-driven with
+// gravity compensation, exactly as the reference configures SAPIEN
+// (base_manipulation.py:354-359, 742-747), so the effective joint dynamics
+// are qdd = kp*(target-q) - kd*qd. Contact-rich grasping is replaced by an
+// explicit grasp constraint: when the gripper closes around the target part's
+// handle OBB, the hand and the part become kinematically coupled, the part's
+// articulation dof follows the projection of the commanded hand motion onto
+// its joint manifold, and the hand is constrained back onto the part's arc —
+// with slip-based release when the commanded motion departs from the
+// manifold. Fingers are rate-limited kinematic (PhysX's 4000-stiffness finger
+// drive is effectively kinematic at these loads).
+
+#include "math3d.h"
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <functional>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace sc {
+
+// ---------------------------------------------------------------------------
+// Thread pool
+// ---------------------------------------------------------------------------
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : n_threads_(std::max(1, n)) {
+    for (int i = 0; i < n_threads_; i++)
+      workers_.emplace_back([this] { worker_loop(); });
+  }
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // Run fn(i) for i in [0, n). Blocks until all are done.
+  void parallel_for(int n, const std::function<void(int)>& fn) {
+    if (n <= 0) return;
+    if (n == 1) { fn(0); return; }
+    std::unique_lock<std::mutex> lk(mu_);
+    job_ = &fn;
+    next_.store(0);
+    total_ = n;
+    pending_.store(n);
+    epoch_++;
+    cv_.notify_all();
+    // the dispatching thread joins the work instead of idling
+    lk.unlock();
+    work_loop(fn);
+    lk.lock();
+    // wait for all items done AND all workers out of the old job before the
+    // next dispatch can reuse next_/total_/pending_
+    done_cv_.wait(lk, [this] { return pending_.load() == 0 && active_.load() == 0; });
+    job_ = nullptr;
+  }
+
+  int size() const { return n_threads_; }
+
+ private:
+  void work_loop(const std::function<void(int)>& job) {
+    for (;;) {
+      int i = next_.fetch_add(1);
+      if (i >= total_) break;
+      job(i);
+      if (pending_.fetch_sub(1) == 1) {
+        std::unique_lock<std::mutex> lk(mu_);
+        done_cv_.notify_all();
+      }
+    }
+  }
+
+  void worker_loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int)>* job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return stop_ || (job_ && epoch_ != seen); });
+        if (stop_) return;
+        seen = epoch_;
+        job = job_;
+        active_.fetch_add(1);
+      }
+      work_loop(*job);
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (active_.fetch_sub(1) == 1) done_cv_.notify_all();
+      }
+    }
+  }
+
+  int n_threads_;
+  std::vector<std::thread> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(int)>* job_ = nullptr;
+  std::atomic<int> next_{0};
+  int total_ = 0;
+  std::atomic<int> pending_{0};
+  std::atomic<int> active_{0};
+  uint64_t epoch_ = 0;
+  bool stop_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Articulation model
+// ---------------------------------------------------------------------------
+
+enum JointType { J_FIXED = 0, J_REVOLUTE = 1, J_PRISMATIC = 2 };
+enum ShapeKind { S_BOX = 0, S_SPHERE = 1, S_CYLINDER = 2 };
+
+struct Shape {
+  int kind = S_BOX;
+  Vec3 params;  // box: half extents; sphere: (r,_,_); cylinder: (r, half_h, _), axis z
+  Pose local;   // link frame -> shape frame
+  Vec3 color{0.7, 0.7, 0.7};
+  int visual_id = 0;
+  bool collide = true;
+};
+
+struct Link {
+  int parent = -1;
+  int joint_type = J_FIXED;
+  Pose origin;  // parent link frame -> joint frame
+  Vec3 axis{0, 0, 1};
+  double lo = 0, hi = 0;
+  double stiffness = 0, damping = 0, friction = 0, armature = 1.0;
+  int dof_index = -1;
+  std::vector<Shape> shapes;
+};
+
+struct Articulation {
+  Pose root;
+  std::vector<Link> links;
+  std::vector<int> dof_links;
+  std::vector<double> q, qd, target;
+  std::vector<Pose> link_pose;
+
+  int dof() const { return (int)dof_links.size(); }
+
+  Pose joint_motion(const Link& l, double qi) const {
+    if (l.joint_type == J_REVOLUTE) return {Vec3{}, Quat::axis_angle(l.axis, qi)};
+    if (l.joint_type == J_PRISMATIC) return {l.axis * qi, Quat{}};
+    return {};
+  }
+
+  void fk() {
+    link_pose.resize(links.size());
+    for (size_t i = 0; i < links.size(); i++) {
+      const Link& l = links[i];
+      Pose parent = l.parent < 0 ? root : link_pose[l.parent];
+      Pose jp = parent * l.origin;
+      double qi = l.dof_index >= 0 ? q[l.dof_index] : 0.0;
+      link_pose[i] = jp * joint_motion(l, qi);
+    }
+  }
+
+  void clamp_limits() {
+    for (int d = 0; d < dof(); d++) {
+      const Link& l = links[dof_links[d]];
+      if (q[d] < l.lo) { q[d] = l.lo; if (qd[d] < 0) qd[d] = 0; }
+      if (q[d] > l.hi) { q[d] = l.hi; if (qd[d] > 0) qd[d] = 0; }
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Environment
+// ---------------------------------------------------------------------------
+
+struct GraspConfig {
+  int obj_art = -1;       // articulation index of the manipulated object
+  int part_link = -1;     // link holding the graspable part
+  int grasp_visual_id = 129;  // shapes with this id form the grasp target OBB
+  double max_aperture = 0.09;
+  double grasp_margin = 0.035;  // distance from grip center to OBB to engage
+  double slip_dist = 0.05;
+  int slip_steps = 12;
+  double max_vel_rev = 2.5;    // rad/s cap on the object joint while grasped
+  double max_vel_prism = 1.0;  // m/s
+};
+
+struct GraspState {
+  bool grasped = false;
+  Pose rel_ph;           // part_link_pose^-1 * hand_pose at grasp time
+  int slip_count = 0;
+};
+
+// Separating-axis test for two OBBs (15 axes).
+static bool obb_overlap(const Pose& pa, const Vec3& ha, const Pose& pb, const Vec3& hb) {
+  Vec3 A[3] = {pa.q.col(0), pa.q.col(1), pa.q.col(2)};
+  Vec3 B[3] = {pb.q.col(0), pb.q.col(1), pb.q.col(2)};
+  Vec3 d = pb.p - pa.p;
+  const double hA[3] = {ha.x, ha.y, ha.z}, hB[3] = {hb.x, hb.y, hb.z};
+  auto test_axis = [&](const Vec3& ax) {
+    double len = ax.norm();
+    if (len < 1e-9) return true;  // degenerate axis: skip
+    Vec3 L = ax * (1.0 / len);
+    double ra = 0, rb = 0;
+    for (int i = 0; i < 3; i++) {
+      ra += hA[i] * std::fabs(A[i].dot(L));
+      rb += hB[i] * std::fabs(B[i].dot(L));
+    }
+    return std::fabs(d.dot(L)) <= ra + rb;
+  };
+  for (int i = 0; i < 3; i++) if (!test_axis(A[i])) return false;
+  for (int i = 0; i < 3; i++) if (!test_axis(B[i])) return false;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++)
+      if (!test_axis(A[i].cross(B[j]))) return false;
+  return true;
+}
+
+struct EnvSim {
+  std::vector<Articulation> arts;
+  GraspConfig gcfg;
+  GraspState grasp;
+  int robot_art = 0;
+  int ee_link = -1;      // hand link index on the robot
+  int n_arm = 7;
+  double dt = 0.005;
+  double finger_speed = 0.4;  // m/s kinematic finger tracking
+  int64_t step_count = 0;
+  std::mt19937_64 rng{0};
+
+  Articulation& robot() { return arts[robot_art]; }
+
+  Pose hand_pose() {
+    Articulation& r = robot();
+    return r.link_pose[ee_link];
+  }
+  Pose grip_pose() {  // grasp center: hand + 0.105 along hand z (ref base_manipulation.py:640-643)
+    Pose h = hand_pose();
+    return {h.p + h.q.col(2) * 0.105, h.q};
+  }
+
+  // --- grasp-target OBB (handle) in part-link-local coordinates ---
+  bool part_local_aabb(int art_i, int link_i, int vid, Vec3* mn, Vec3* mx) const {
+    bool any = false;
+    Vec3 lo{1e18, 1e18, 1e18}, hi{-1e18, -1e18, -1e18};
+    for (const Shape& s : arts[art_i].links[link_i].shapes) {
+      if (vid >= 0 && s.visual_id != vid) continue;
+      // conservative AABB of the shape in link frame
+      Vec3 half;
+      if (s.kind == S_BOX) half = s.params;
+      else if (s.kind == S_SPHERE) half = {s.params.x, s.params.x, s.params.x};
+      else half = {s.params.x, s.params.x, s.params.y};
+      for (int cx = -1; cx <= 1; cx += 2)
+        for (int cy = -1; cy <= 1; cy += 2)
+          for (int cz = -1; cz <= 1; cz += 2) {
+            Vec3 corner = s.local.apply({half.x * cx, half.y * cy, half.z * cz});
+            lo = vmin(lo, corner);
+            hi = vmax(hi, corner);
+          }
+      any = true;
+    }
+    if (any) { *mn = lo; *mx = hi; }
+    return any;
+  }
+
+  // Handle OBB (world) of the grasp-target shapes.
+  bool handle_obb(Pose* pose, Vec3* half) const {
+    Vec3 mn, mx;
+    if (!part_local_aabb(gcfg.obj_art, gcfg.part_link, gcfg.grasp_visual_id, &mn, &mx))
+      return false;
+    const Pose& part = arts[gcfg.obj_art].link_pose[gcfg.part_link];
+    *pose = part * Pose{(mn + mx) * 0.5, Quat{}};
+    *half = (mx - mn) * 0.5;
+    return true;
+  }
+
+  // The finger-sweep volume in the hand frame: the box swept by the pads as
+  // the fingers close. A grasp engages when the fingers are commanded closed
+  // and the handle OBB overlaps this volume (with the thin dimension fitting
+  // the aperture).
+  Pose sweep_pose() { return hand_pose() * Pose{{0, 0, 0.088}, Quat{}}; }
+  static Vec3 sweep_half() { return {0.016, 0.048, 0.026}; }
+
+  void try_engage_grasp() {
+    if (grasp.grasped || gcfg.obj_art < 0) return;
+    // per-shape test: any graspable shape whose thin dimension fits the
+    // aperture and whose OBB overlaps the finger-sweep volume engages the
+    // grasp (e.g. the mug handle qualifies while the mug body does not)
+    const Articulation& obj = arts[gcfg.obj_art];
+    const Pose& part = obj.link_pose[gcfg.part_link];
+    Pose sw = sweep_pose();
+    for (const Shape& s : obj.links[gcfg.part_link].shapes) {
+      if (s.visual_id != gcfg.grasp_visual_id) continue;
+      Vec3 h = s.kind == S_BOX ? s.params
+             : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
+             : Vec3{s.params.x, s.params.x, s.params.y};
+      double thin = std::min(h.x, std::min(h.y, h.z)) * 2.0;
+      if (thin > gcfg.max_aperture) continue;
+      Vec3 hexp = h + Vec3{1, 1, 1} * (gcfg.grasp_margin * 0.3);
+      if (!obb_overlap(sw, sweep_half(), part * s.local, hexp)) continue;
+      grasp.grasped = true;
+      grasp.slip_count = 0;
+      grasp.rel_ph = part.inv() * hand_pose();
+      return;
+    }
+  }
+
+  void release_grasp() { grasp.grasped = false; grasp.slip_count = 0; }
+
+  // --- damped-least-squares IK on the arm (Pinocchio replacement;
+  //     semantics of reference osc_planner.py:14-26) ---
+  bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
+              int max_iters = 120, double damping = 0.08, double tol = 1e-4) {
+    Articulation& r = robot();
+    std::vector<double> q_save = r.q;
+    if (q_init) for (int i = 0; i < n_arm; i++) r.q[i] = q_init[i];
+    bool ok = false;
+    for (int it = 0; it < max_iters; it++) {
+      r.fk();
+      Pose cur = r.link_pose[ee_link];
+      Vec3 ep = target_world.p - cur.p;
+      Quat qe = (target_world.q * cur.q.conj()).normalized();
+      if (qe.w < 0) qe = {-qe.w, -qe.x, -qe.y, -qe.z};
+      double ang = 2.0 * std::atan2(std::sqrt(qe.x * qe.x + qe.y * qe.y + qe.z * qe.z),
+                                    qe.w);
+      Vec3 er = Vec3{qe.x, qe.y, qe.z}.normalized() * ang;
+      double err = ep.norm() + 0.3 * er.norm();
+      if (err < tol) { ok = true; break; }
+      // geometric jacobian, arm dofs only
+      double J[6][7];
+      for (int d = 0; d < n_arm; d++) {
+        const Link& l = r.links[r.dof_links[d]];
+        const Pose& lp = r.link_pose[r.dof_links[d]];
+        Vec3 a = lp.q.rotate(l.axis);
+        if (l.joint_type == J_REVOLUTE) {
+          Vec3 v = a.cross(cur.p - lp.p);
+          J[0][d] = v.x; J[1][d] = v.y; J[2][d] = v.z;
+          J[3][d] = a.x; J[4][d] = a.y; J[5][d] = a.z;
+        } else {
+          J[0][d] = a.x; J[1][d] = a.y; J[2][d] = a.z;
+          J[3][d] = J[4][d] = J[5][d] = 0;
+        }
+      }
+      double e6[6] = {ep.x, ep.y, ep.z, er.x, er.y, er.z};
+      // A = J J^T + damping^2 I
+      double A[6][6];
+      for (int i = 0; i < 6; i++)
+        for (int j = 0; j < 6; j++) {
+          double s = 0;
+          for (int d = 0; d < n_arm; d++) s += J[i][d] * J[j][d];
+          A[i][j] = s + (i == j ? damping * damping : 0.0);
+        }
+      double y[6];
+      if (!solve6(A, e6, y)) break;
+      for (int d = 0; d < n_arm; d++) {
+        double dq = 0;
+        for (int i = 0; i < 6; i++) dq += J[i][d] * y[i];
+        dq = std::max(-0.2, std::min(0.2, dq));
+        const Link& l = r.links[r.dof_links[d]];
+        r.q[d] = std::max(l.lo, std::min(l.hi, r.q[d] + dq));
+      }
+    }
+    for (int i = 0; i < n_arm; i++) q_out[i] = r.q[i];
+    r.q = q_save;
+    r.fk();
+    return ok;
+  }
+
+  // Gripper contact spheres (palm + finger pads) against the object's
+  // collision OBBs. Models the hard contact that stops the hand when it
+  // presses into the door/body — the reference relies on PhysX contact for
+  // its closed-loop "advance until blocked" grasp
+  // (models/manipulation/open_cabinet.py:51-68).
+  bool gripper_contact() {
+    if (gcfg.obj_art < 0) return false;
+    Articulation& r = robot();
+    Pose h = r.link_pose[ee_link];
+    int nl = (int)r.links.size();
+    struct GS { Vec3 p; double radius; };
+    GS sph[3] = {
+        {h.apply({0, 0, 0.033}), 0.042},
+        {r.link_pose[nl - 2].apply({0, 0.0105, 0.0265}), 0.018},
+        {r.link_pose[nl - 1].apply({0, -0.0105, 0.0265}), 0.018},
+    };
+    const Articulation& obj = arts[gcfg.obj_art];
+    for (size_t li = 0; li < obj.links.size(); li++) {
+      for (const Shape& s : obj.links[li].shapes) {
+        if (!s.collide) continue;
+        Vec3 hh = s.kind == S_BOX ? s.params
+                : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
+                : Vec3{s.params.x, s.params.x, s.params.y};
+        Pose sp = obj.link_pose[li] * s.local;
+        for (const GS& g : sph) {
+          Vec3 l = sp.apply_inv(g.p);
+          Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
+                  std::max(-hh.y, std::min(hh.y, l.y)),
+                  std::max(-hh.z, std::min(hh.z, l.z))};
+          if ((l - cl).norm() < g.radius) return true;
+        }
+      }
+    }
+    return false;
+  }
+
+  // --- one control step (reference base_manipulation.py:735-815) ---
+  void step() {
+    Articulation& r = robot();
+    std::vector<double> q_prev(r.q.begin(), r.q.begin() + n_arm);
+    // arm: PD with gravity compensation baked in
+    for (int d = 0; d < n_arm; d++) {
+      const Link& l = r.links[r.dof_links[d]];
+      double qdd = (l.stiffness * (r.target[d] - r.q[d]) - l.damping * r.qd[d]) / l.armature;
+      r.qd[d] += qdd * dt;
+      r.q[d] += r.qd[d] * dt;
+    }
+    // fingers: rate-limited kinematic tracking
+    for (int d = n_arm; d < r.dof(); d++) {
+      double dq = r.target[d] - r.q[d];
+      double mx = finger_speed * dt;
+      r.q[d] += std::max(-mx, std::min(mx, dq));
+      r.qd[d] = 0;
+    }
+    r.clamp_limits();
+    r.fk();
+
+    if (grasp.grasped && gcfg.obj_art >= 0) {
+      constrain_to_grasp();
+    } else {
+      // contact-stop: roll the arm motion back to the last collision-free
+      // fraction (binary search), modeling a rigid non-sliding contact
+      if (gripper_contact()) {
+        std::vector<double> q_new(r.q.begin(), r.q.begin() + n_arm);
+        double good = 0.0, bad = 1.0;
+        for (int it = 0; it < 6; it++) {
+          double mid = 0.5 * (good + bad);
+          for (int d = 0; d < n_arm; d++)
+            r.q[d] = q_prev[d] + (q_new[d] - q_prev[d]) * mid;
+          r.fk();
+          if (gripper_contact()) bad = mid; else good = mid;
+        }
+        for (int d = 0; d < n_arm; d++) {
+          r.q[d] = q_prev[d] + (q_new[d] - q_prev[d]) * good;
+          r.qd[d] = 0;
+        }
+        r.fk();
+      }
+      passive_object_step();
+      // engage check: fingers commanded closed and near target part
+      if (r.dof() > n_arm && r.target[n_arm] < 0.015) try_engage_grasp();
+    }
+    step_count++;
+  }
+
+  void passive_object_step() {
+    if (gcfg.obj_art < 0) return;
+    Articulation& obj = arts[gcfg.obj_art];
+    bool moved = false;
+    for (int d = 0; d < obj.dof(); d++) {
+      const Link& l = obj.links[obj.dof_links[d]];
+      double force = 0;
+      if (l.joint_type == J_PRISMATIC) {
+        Vec3 aw = obj.link_pose[obj.dof_links[d]].q.rotate(l.axis);
+        force = -9.81 * aw.z;  // gravity along the slide
+      }
+      if (std::fabs(force) > l.friction) {
+        double eff = force - (force > 0 ? l.friction : -l.friction);
+        obj.qd[d] += eff * dt;
+        obj.qd[d] *= std::max(0.0, 1.0 - l.damping * dt);
+        obj.q[d] += obj.qd[d] * dt;
+        moved = true;
+      } else {
+        obj.qd[d] = 0;
+      }
+    }
+    obj.clamp_limits();
+    if (moved) obj.fk();
+  }
+
+  // While grasped: project the commanded hand motion onto the object's joint
+  // manifold, advance the object dof (rate-limited), then constrain the hand
+  // back onto the part's arc. Slip-release when the commanded pose departs
+  // from the reachable manifold.
+  void constrain_to_grasp() {
+    Articulation& r = robot();
+    Articulation& obj = arts[gcfg.obj_art];
+    int pl = gcfg.part_link;
+    // the dof that moves the part: nearest movable ancestor of part_link
+    int dof_link = pl, dof_idx = -1;
+    while (dof_link >= 0) {
+      if (obj.links[dof_link].dof_index >= 0) { dof_idx = obj.links[dof_link].dof_index; break; }
+      dof_link = obj.links[dof_link].parent;
+    }
+    Pose desired_hand = r.link_pose[ee_link];  // where the PD dynamics put the hand
+    // anchor: grip center expressed in part frame at grasp time is implied by
+    // rel_ph; track the hand origin (equivalently rigid) for the projection
+    Pose part_now = obj.link_pose[pl];
+    Vec3 anchor_now = (part_now * grasp.rel_ph).p;
+    Vec3 anchor_des = desired_hand.p;
+
+    if (dof_idx >= 0) {
+      const Link& jl = obj.links[obj.dof_links[dof_idx]];
+      const Pose& jlp = obj.link_pose[obj.dof_links[dof_idx]];
+      Vec3 aw = jlp.q.rotate(jl.axis);
+      double dq = 0;
+      if (jl.joint_type == J_PRISMATIC) {
+        dq = (anchor_des - anchor_now).dot(aw);
+        double mx = gcfg.max_vel_prism * dt;
+        dq = std::max(-mx, std::min(mx, dq));
+      } else {
+        // joint axis passes through the joint frame origin
+        Vec3 c = jlp.p;
+        Vec3 v0 = anchor_now - c; v0 = v0 - aw * v0.dot(aw);
+        Vec3 v1 = anchor_des - c; v1 = v1 - aw * v1.dot(aw);
+        if (v0.norm() > 1e-6 && v1.norm() > 1e-6) {
+          dq = std::atan2(aw.dot(v0.cross(v1)), v0.dot(v1));
+          double mx = gcfg.max_vel_rev * dt;
+          dq = std::max(-mx, std::min(mx, dq));
+        }
+      }
+      obj.q[dof_idx] += dq;
+      obj.qd[dof_idx] = dq / dt;
+      obj.clamp_limits();
+      obj.fk();
+    }
+
+    // constrain the hand onto the part
+    Pose constrained_hand = obj.link_pose[pl] * grasp.rel_ph;
+    double residual = (constrained_hand.p - desired_hand.p).norm();
+    if (residual > gcfg.slip_dist) {
+      if (++grasp.slip_count >= gcfg.slip_steps) { release_grasp(); return; }
+    } else {
+      grasp.slip_count = 0;
+    }
+    double q_sol[7];
+    std::vector<double> qi(r.q.begin(), r.q.begin() + n_arm);
+    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4)) {
+      for (int d = 0; d < n_arm; d++) { r.q[d] = q_sol[d]; r.qd[d] = 0; }
+      r.fk();
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Collision + RRT-Connect planner (mplib replacement;
+// reference base_manipulation.py:184-192,495-538)
+// ---------------------------------------------------------------------------
+
+struct CollSphere { int link; Vec3 local; double r; };
+struct Obb { Pose pose; Vec3 half; };
+
+struct PlanContext {
+  EnvSim* env;
+  std::vector<CollSphere> rob_spheres;
+  std::vector<Obb> obstacles;  // world-frame
+  double ground_z = 0.0;
+};
+
+static void robot_collision_spheres(EnvSim& e, std::vector<CollSphere>* out) {
+  Articulation& r = e.robot();
+  for (size_t li = 0; li < r.links.size(); li++) {
+    for (const Shape& s : r.links[li].shapes) {
+      if (!s.collide) continue;
+      Vec3 h = s.kind == S_BOX ? s.params
+             : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
+             : Vec3{s.params.x, s.params.x, s.params.y};
+      // subdivide the longest axis into spheres of the next-largest half-dim
+      int ax = 0;
+      if (h.y > h[ax]) ax = 1;
+      if (h.z > h[ax]) ax = 2;
+      double other = 0;
+      for (int k = 0; k < 3; k++) if (k != ax) other = std::max(other, h[k]);
+      double radius = std::max(other * 1.2, 0.02);
+      int n = std::max(1, (int)std::ceil(h[ax] / radius));
+      for (int i = 0; i < n; i++) {
+        double c = n == 1 ? 0.0 : -h[ax] + (2.0 * h[ax]) * (i + 0.5) / n;
+        Vec3 lp{0, 0, 0};
+        if (ax == 0) lp.x = c; else if (ax == 1) lp.y = c; else lp.z = c;
+        out->push_back({(int)li, s.local.apply(lp), radius});
+      }
+    }
+  }
+}
+
+static bool sphere_obb_hit(const Vec3& c, double r, const Obb& b) {
+  Vec3 l = b.pose.apply_inv(c);
+  Vec3 cl{std::max(-b.half.x, std::min(b.half.x, l.x)),
+          std::max(-b.half.y, std::min(b.half.y, l.y)),
+          std::max(-b.half.z, std::min(b.half.z, l.z))};
+  return (l - cl).norm() < r;
+}
+
+static bool config_in_collision(PlanContext& ctx, const double* q7) {
+  Articulation& r = ctx.env->robot();
+  std::vector<double> save = r.q;
+  for (int i = 0; i < ctx.env->n_arm; i++) r.q[i] = q7[i];
+  r.fk();
+  bool hit = false;
+  for (const CollSphere& s : ctx.rob_spheres) {
+    Vec3 c = r.link_pose[s.link].apply(s.local);
+    if (c.z - s.r < ctx.ground_z + 0.005 && s.link > 1) { hit = true; break; }
+    for (const Obb& b : ctx.obstacles)
+      if (sphere_obb_hit(c, s.r, b)) { hit = true; break; }
+    if (hit) break;
+  }
+  r.q = save;
+  r.fk();
+  return hit;
+}
+
+static bool segment_free(PlanContext& ctx, const std::vector<double>& a,
+                         const std::vector<double>& b, double res = 0.05) {
+  double dist = 0;
+  for (size_t i = 0; i < a.size(); i++) dist = std::max(dist, std::fabs(b[i] - a[i]));
+  int n = std::max(1, (int)std::ceil(dist / res));
+  for (int s = 1; s <= n; s++) {
+    double t = (double)s / n;
+    double q[7];
+    for (size_t i = 0; i < a.size(); i++) q[i] = a[i] + (b[i] - a[i]) * t;
+    if (config_in_collision(ctx, q)) return false;
+  }
+  return true;
+}
+
+// RRT-Connect in the 7-D arm space with shortcut smoothing.
+static bool rrt_connect(PlanContext& ctx, const std::vector<double>& start,
+                        const std::vector<double>& goal,
+                        std::vector<std::vector<double>>* path,
+                        int max_iters = 1200, double step = 0.15) {
+  const int D = 7;
+  Articulation& r = ctx.env->robot();
+  std::vector<double> lo(D), hi(D);
+  for (int d = 0; d < D; d++) {
+    const Link& l = r.links[r.dof_links[d]];
+    lo[d] = l.lo; hi[d] = l.hi;
+  }
+  if (config_in_collision(ctx, start.data()) || config_in_collision(ctx, goal.data()))
+    return false;
+  if (segment_free(ctx, start, goal)) {  // trivial straight-line
+    *path = {start, goal};
+    return true;
+  }
+  struct Node { std::vector<double> q; int parent; };
+  std::vector<Node> ta{{start, -1}}, tb{{goal, -1}};
+  auto& rng = ctx.env->rng;
+  std::uniform_real_distribution<double> uni(0, 1);
+
+  auto nearest = [&](std::vector<Node>& tree, const std::vector<double>& q) {
+    int best = 0; double bd = 1e18;
+    for (size_t i = 0; i < tree.size(); i++) {
+      double d = 0;
+      for (int k = 0; k < D; k++) { double df = tree[i].q[k] - q[k]; d += df * df; }
+      if (d < bd) { bd = d; best = (int)i; }
+    }
+    return best;
+  };
+  auto steer = [&](const std::vector<double>& from, const std::vector<double>& to) {
+    double d = 0;
+    for (int k = 0; k < D; k++) { double df = to[k] - from[k]; d += df * df; }
+    d = std::sqrt(d);
+    if (d <= step) return to;
+    std::vector<double> q(D);
+    for (int k = 0; k < D; k++) q[k] = from[k] + (to[k] - from[k]) * (step / d);
+    return q;
+  };
+
+  bool a_is_start = true;
+  int join_a = -1, join_b = -1;
+  for (int it = 0; it < max_iters; it++) {
+    std::vector<double> sample(D);
+    for (int d = 0; d < D; d++) sample[d] = lo[d] + (hi[d] - lo[d]) * uni(rng);
+    int ni = nearest(ta, sample);
+    std::vector<double> qn = steer(ta[ni].q, sample);
+    if (segment_free(ctx, ta[ni].q, qn)) {
+      ta.push_back({qn, ni});
+      // try to connect tb toward qn greedily
+      int mi = nearest(tb, qn);
+      std::vector<double> qc = tb[mi].q;
+      int parent = mi;
+      for (;;) {
+        std::vector<double> qs = steer(qc, qn);
+        if (!segment_free(ctx, qc, qs)) break;
+        tb.push_back({qs, parent});
+        parent = (int)tb.size() - 1;
+        qc = qs;
+        double d = 0;
+        for (int k = 0; k < D; k++) { double df = qc[k] - qn[k]; d += df * df; }
+        if (std::sqrt(d) < 1e-9) {
+          join_a = (int)ta.size() - 1;
+          join_b = parent;
+          goto found;
+        }
+      }
+    }
+    std::swap(ta, tb);
+    a_is_start = !a_is_start;
+  }
+  return false;
+
+found:
+  std::vector<std::vector<double>> pa, pb;
+  for (int i = join_a; i >= 0; i = ta[i].parent) pa.push_back(ta[i].q);
+  for (int i = join_b; i >= 0; i = tb[i].parent) pb.push_back(tb[i].q);
+  std::vector<std::vector<double>> full;
+  if (a_is_start) {
+    for (auto it = pa.rbegin(); it != pa.rend(); ++it) full.push_back(*it);
+    for (auto& q : pb) full.push_back(q);
+  } else {
+    for (auto it = pb.rbegin(); it != pb.rend(); ++it) full.push_back(*it);
+    for (auto& q : pa) full.push_back(q);
+  }
+  // shortcut smoothing
+  std::uniform_int_distribution<int> pick(0, 1 << 30);
+  for (int t = 0; t < 120 && full.size() > 2; t++) {
+    int i = pick(rng) % (full.size() - 1);
+    int j = i + 1 + pick(rng) % (full.size() - 1 - i);
+    if (j <= i + 1) continue;
+    if (segment_free(ctx, full[i], full[j]))
+      full.erase(full.begin() + i + 1, full.begin() + j);
+  }
+  *path = std::move(full);
+  return true;
+}
+
+// Discretize a joint-space path at a per-step joint displacement cap,
+// mirroring mplib's time parameterization at time_step with unit velocity
+// limits (reference base_manipulation.py:184-192: joint_vel_limits=1).
+static void discretize_path(const std::vector<std::vector<double>>& path, double dq_max,
+                            std::vector<std::vector<double>>* out) {
+  out->clear();
+  for (size_t s = 0; s + 1 < path.size(); s++) {
+    double dist = 0;
+    for (size_t k = 0; k < path[s].size(); k++)
+      dist = std::max(dist, std::fabs(path[s + 1][k] - path[s][k]));
+    int n = std::max(1, (int)std::ceil(dist / dq_max));
+    for (int i = 1; i <= n; i++) {
+      double t = (double)i / n;
+      std::vector<double> q(path[s].size());
+      for (size_t k = 0; k < q.size(); k++)
+        q[k] = path[s][k] + (path[s + 1][k] - path[s][k]) * t;
+      out->push_back(std::move(q));
+    }
+  }
+  if (out->empty()) out->push_back(path.back());
+}
+
+}  // namespace sc
+
+// ---------------------------------------------------------------------------
+// Renderer: multithreaded CPU raycaster (SAPIEN Vulkan replacement;
+// RGB / depth / world-position / normal / segmentation at arbitrary WxH,
+// reference env/base_sapien_env.py:81-172)
+// ---------------------------------------------------------------------------
+
+namespace sc {
+
+struct RayHit {
+  double t = 1e18;
+  Vec3 normal;
+  Vec3 color;
+  int seg = 0;
+};
+
+// ray: o + t*d (d not normalized). Returns smallest positive t.
+static bool ray_box(const Vec3& o, const Vec3& d, const Vec3& half, double* t, Vec3* n) {
+  double t0 = 1e-6, t1 = 1e18;
+  int ax = -1; bool neg = false;
+  const double oo[3] = {o.x, o.y, o.z}, dd[3] = {d.x, d.y, d.z},
+               hh[3] = {half.x, half.y, half.z};
+  for (int i = 0; i < 3; i++) {
+    if (std::fabs(dd[i]) < 1e-12) {
+      if (oo[i] < -hh[i] || oo[i] > hh[i]) return false;
+      continue;
+    }
+    double inv = 1.0 / dd[i];
+    double ta = (-hh[i] - oo[i]) * inv, tb = (hh[i] - oo[i]) * inv;
+    bool flip = ta > tb;
+    if (flip) std::swap(ta, tb);
+    if (ta > t0) { t0 = ta; ax = i; neg = !flip; }
+    if (tb < t1) t1 = tb;
+    if (t0 > t1) return false;
+  }
+  if (ax < 0) return false;  // origin inside box
+  *t = t0;
+  Vec3 nn{0, 0, 0};
+  if (ax == 0) nn.x = neg ? -1 : 1;
+  else if (ax == 1) nn.y = neg ? -1 : 1;
+  else nn.z = neg ? -1 : 1;
+  *n = nn;
+  return true;
+}
+
+static bool ray_sphere(const Vec3& o, const Vec3& d, double r, double* t, Vec3* n) {
+  double a = d.dot(d), b = 2 * o.dot(d), c = o.dot(o) - r * r;
+  double disc = b * b - 4 * a * c;
+  if (disc < 0) return false;
+  double sq = std::sqrt(disc);
+  double tt = (-b - sq) / (2 * a);
+  if (tt < 1e-6) tt = (-b + sq) / (2 * a);
+  if (tt < 1e-6) return false;
+  *t = tt;
+  *n = (o + d * tt).normalized();
+  return true;
+}
+
+static bool ray_cylinder(const Vec3& o, const Vec3& d, double r, double hh,
+                         double* t, Vec3* n) {
+  // axis = local z
+  double best = 1e18; Vec3 bn;
+  double a = d.x * d.x + d.y * d.y;
+  if (a > 1e-14) {
+    double b = 2 * (o.x * d.x + o.y * d.y), c = o.x * o.x + o.y * o.y - r * r;
+    double disc = b * b - 4 * a * c;
+    if (disc >= 0) {
+      double sq = std::sqrt(disc);
+      for (double tt : {(-b - sq) / (2 * a), (-b + sq) / (2 * a)}) {
+        if (tt < 1e-6 || tt >= best) continue;
+        double z = o.z + d.z * tt;
+        if (z >= -hh && z <= hh) {
+          best = tt;
+          Vec3 p = o + d * tt;
+          bn = Vec3{p.x, p.y, 0}.normalized();
+        }
+      }
+    }
+  }
+  if (std::fabs(d.z) > 1e-12) {
+    for (double zc : {-hh, hh}) {
+      double tt = (zc - o.z) / d.z;
+      if (tt < 1e-6 || tt >= best) continue;
+      double px = o.x + d.x * tt, py = o.y + d.y * tt;
+      if (px * px + py * py <= r * r) {
+        best = tt;
+        bn = {0, 0, zc > 0 ? 1.0 : -1.0};
+      }
+    }
+  }
+  if (best >= 1e18) return false;
+  *t = best;
+  *n = bn;
+  return true;
+}
+
+static void render_env(EnvSim& e, const Pose& cam, int W, int H, double fovy,
+                       float* rgb, float* depth, float* pos, float* normal,
+                       int32_t* seg, ThreadPool* tp) {
+  // gather world-frame shapes once
+  struct WorldShape { Pose pose; const Shape* s; };
+  std::vector<WorldShape> shapes;
+  for (auto& art : e.arts) {
+    for (size_t li = 0; li < art.links.size(); li++)
+      for (const Shape& s : art.links[li].shapes)
+        shapes.push_back({art.link_pose[li] * s.local, &s});
+  }
+  double sfac = 2.0 * std::tan(fovy / 2.0) / H;
+  Vec3 cam_x = cam.q.col(0), cam_y = cam.q.col(1), cam_z = cam.q.col(2);
+
+  auto render_row = [&](int i) {
+    for (int j = 0; j < W; j++) {
+      // camera convention: x forward, y left, z up (SAPIEN-style)
+      double py = (W * 0.5 - (j + 0.5)) * sfac;
+      double pz = (H * 0.5 - (i + 0.5)) * sfac;
+      Vec3 dir = cam_x + cam_y * py + cam_z * pz;  // unnormalized, fwd comp = 1
+      RayHit hit;
+      for (const WorldShape& ws : shapes) {
+        Vec3 lo = ws.pose.apply_inv(cam.p);
+        Vec3 ld = ws.pose.q.conj().rotate(dir);
+        double t; Vec3 n;
+        bool h = false;
+        if (ws.s->kind == S_BOX) h = ray_box(lo, ld, ws.s->params, &t, &n);
+        else if (ws.s->kind == S_SPHERE) h = ray_sphere(lo, ld, ws.s->params.x, &t, &n);
+        else h = ray_cylinder(lo, ld, ws.s->params.x, ws.s->params.y, &t, &n);
+        if (h && t < hit.t) {
+          hit.t = t;
+          hit.normal = ws.pose.q.rotate(n);
+          hit.color = ws.s->color;
+          hit.seg = ws.s->visual_id;
+        }
+      }
+      // ground plane z=0
+      if (dir.z < -1e-9) {
+        double t = -cam.p.z / dir.z;
+        if (t > 1e-6 && t < hit.t) {
+          Vec3 p = cam.p + dir * t;
+          int check = ((int)std::floor(p.x * 2) + (int)std::floor(p.y * 2)) & 1;
+          hit.t = t;
+          hit.normal = {0, 0, 1};
+          hit.color = check ? Vec3{0.55, 0.55, 0.55} : Vec3{0.62, 0.62, 0.62};
+          hit.seg = 0;
+        }
+      }
+      size_t px = (size_t)i * W + j;
+      if (hit.t < 1e17) {
+        Vec3 p = cam.p + dir * hit.t;
+        Vec3 dn = dir.normalized();
+        double lam = 0.35 + 0.65 * std::max(0.0, hit.normal.dot(-dn));
+        rgb[px * 3 + 0] = (float)(hit.color.x * lam);
+        rgb[px * 3 + 1] = (float)(hit.color.y * lam);
+        rgb[px * 3 + 2] = (float)(hit.color.z * lam);
+        depth[px] = (float)hit.t;  // distance along the camera forward axis
+        pos[px * 3 + 0] = (float)p.x; pos[px * 3 + 1] = (float)p.y; pos[px * 3 + 2] = (float)p.z;
+        normal[px * 3 + 0] = (float)hit.normal.x;
+        normal[px * 3 + 1] = (float)hit.normal.y;
+        normal[px * 3 + 2] = (float)hit.normal.z;
+        seg[px] = hit.seg;
+      } else {
+        rgb[px * 3 + 0] = rgb[px * 3 + 1] = 0.75f; rgb[px * 3 + 2] = 0.85f;
+        depth[px] = 0.0f;
+        pos[px * 3 + 0] = pos[px * 3 + 1] = pos[px * 3 + 2] = 0.0f;
+        normal[px * 3 + 0] = normal[px * 3 + 1] = 0.0f; normal[px * 3 + 2] = 1.0f;
+        seg[px] = 0;
+      }
+    }
+  };
+  if (tp) tp->parallel_for(H, render_row);
+  else for (int i = 0; i < H; i++) render_row(i);
+}
+
+// ---------------------------------------------------------------------------
+// Pool: N environments + thread pool
+// ---------------------------------------------------------------------------
+
+struct Pool {
+  std::vector<EnvSim> envs;
+  ThreadPool tp;
+  Pool(int n_envs, int n_threads)
+      : envs(n_envs),
+        tp(n_threads > 0 ? n_threads
+                         : std::max(1, (int)std::thread::hardware_concurrency() - 2)) {
+    for (int i = 0; i < n_envs; i++) envs[i].rng.seed(0x9E3779B9u + i);
+  }
+};
+
+// Build the obstacle set for planning: all collide shapes of non-robot
+// articulations as world OBBs, plus (optionally) a virtual wall in front of
+// the handle (reference base_manipulation.py:495-538 builds a 1.6x1.6 m
+// point-cloud wall offset 0.17 along the handle z axis; we use the analytic
+// box directly).
+static void build_obstacles(EnvSim& e, bool use_wall, PlanContext* ctx) {
+  ctx->env = &e;
+  ctx->rob_spheres.clear();
+  ctx->obstacles.clear();
+  robot_collision_spheres(e, &ctx->rob_spheres);
+  for (size_t ai = 0; ai < e.arts.size(); ai++) {
+    if ((int)ai == e.robot_art) continue;
+    Articulation& art = e.arts[ai];
+    for (size_t li = 0; li < art.links.size(); li++)
+      for (const Shape& s : art.links[li].shapes) {
+        if (!s.collide) continue;
+        Vec3 h = s.kind == S_BOX ? s.params
+               : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
+               : Vec3{s.params.x, s.params.x, s.params.y};
+        ctx->obstacles.push_back({art.link_pose[li] * s.local, h});
+      }
+  }
+  if (use_wall && e.gcfg.obj_art >= 0) {
+    Vec3 mn, mx;
+    if (e.part_local_aabb(e.gcfg.obj_art, e.gcfg.part_link, e.gcfg.grasp_visual_id,
+                          &mn, &mx)) {
+      Articulation& obj = e.arts[e.gcfg.obj_art];
+      Pose part = obj.link_pose[e.gcfg.part_link];
+      Pose wall_local{{(mn.x + mx.x) / 2, (mn.y + mx.y) / 2, (mn.z + mx.z) / 2}, Quat{}};
+      Pose wall = part * wall_local;
+      // offset along the world direction from the part toward the robot base
+      Vec3 toward = (e.robot().root.p - wall.p).normalized();
+      wall.p += toward * 0.17;
+      // orient the thin axis along `toward`
+      Vec3 wx = toward;
+      Vec3 wy = Vec3{0, 0, 1}.cross(wx).normalized();
+      if (wy.norm() < 0.5) wy = {0, 1, 0};
+      Vec3 wz = wx.cross(wy);
+      wall.q = quat_from_cols(wx, wy, wz);
+      ctx->obstacles.push_back({wall, Vec3{0.005, 0.8, 0.8}});
+    }
+  }
+}
+
+}  // namespace sc
+
+// ---------------------------------------------------------------------------
+// C API (ctypes surface)
+// ---------------------------------------------------------------------------
+
+using namespace sc;
+
+extern "C" {
+
+void* sc_pool_create(int n_envs, int n_threads) { return new Pool(n_envs, n_threads); }
+void sc_pool_destroy(void* p) { delete (Pool*)p; }
+int sc_pool_threads(void* p) { return ((Pool*)p)->tp.size(); }
+
+void sc_env_clear(void* p, int env) {
+  EnvSim& e = ((Pool*)p)->envs[env];
+  e.arts.clear();
+  e.grasp = GraspState{};
+  e.gcfg = GraspConfig{};
+  e.step_count = 0;
+}
+
+void sc_env_seed(void* p, int env, uint64_t seed) { ((Pool*)p)->envs[env].rng.seed(seed); }
+void sc_env_set_dt(void* p, int env, double dt) { ((Pool*)p)->envs[env].dt = dt; }
+
+int sc_art_create(void* p, int env, const double* root7) {
+  EnvSim& e = ((Pool*)p)->envs[env];
+  e.arts.emplace_back();
+  e.arts.back().root = pose_from7(root7);
+  return (int)e.arts.size() - 1;
+}
+
+int sc_art_add_link(void* p, int env, int art, int parent, int joint_type,
+                    const double* origin7, const double* axis3, double lo, double hi,
+                    double stiffness, double damping, double friction, double armature) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  Link l;
+  l.parent = parent;
+  l.joint_type = joint_type;
+  l.origin = pose_from7(origin7);
+  l.axis = Vec3{axis3[0], axis3[1], axis3[2]}.normalized();
+  l.lo = lo; l.hi = hi;
+  l.stiffness = stiffness; l.damping = damping; l.friction = friction;
+  l.armature = armature;
+  if (joint_type != J_FIXED) {
+    l.dof_index = (int)a.dof_links.size();
+    a.dof_links.push_back((int)a.links.size());
+    a.q.push_back(0); a.qd.push_back(0); a.target.push_back(0);
+  }
+  a.links.push_back(std::move(l));
+  return (int)a.links.size() - 1;
+}
+
+void sc_link_add_shape(void* p, int env, int art, int link, int kind,
+                       const double* params3, const double* local7,
+                       const double* color3, int visual_id, int collide) {
+  Shape s;
+  s.kind = kind;
+  s.params = {params3[0], params3[1], params3[2]};
+  s.local = pose_from7(local7);
+  s.color = {color3[0], color3[1], color3[2]};
+  s.visual_id = visual_id;
+  s.collide = collide != 0;
+  ((Pool*)p)->envs[env].arts[art].links[link].shapes.push_back(std::move(s));
+}
+
+void sc_art_finish(void* p, int env, int art) {
+  ((Pool*)p)->envs[env].arts[art].fk();
+}
+
+void sc_set_robot(void* p, int env, int art, int ee_link, int n_arm) {
+  EnvSim& e = ((Pool*)p)->envs[env];
+  e.robot_art = art;
+  e.ee_link = ee_link;
+  e.n_arm = n_arm;
+}
+
+void sc_set_grasp_config(void* p, int env, int obj_art, int part_link, int grasp_vid,
+                         double max_aperture, double slip_dist, int slip_steps) {
+  EnvSim& e = ((Pool*)p)->envs[env];
+  e.gcfg.obj_art = obj_art;
+  e.gcfg.part_link = part_link;
+  e.gcfg.grasp_visual_id = grasp_vid;
+  if (max_aperture > 0) e.gcfg.max_aperture = max_aperture;
+  if (slip_dist > 0) e.gcfg.slip_dist = slip_dist;
+  if (slip_steps > 0) e.gcfg.slip_steps = slip_steps;
+}
+
+int sc_get_grasped(void* p, int env) {
+  return ((Pool*)p)->envs[env].grasp.grasped ? 1 : 0;
+}
+void sc_release_grasp(void* p, int env) { ((Pool*)p)->envs[env].release_grasp(); }
+
+// --- state access ---
+int sc_art_dof(void* p, int env, int art) { return ((Pool*)p)->envs[env].arts[art].dof(); }
+int sc_art_links(void* p, int env, int art) { return (int)((Pool*)p)->envs[env].arts[art].links.size(); }
+
+void sc_art_get_qpos(void* p, int env, int art, double* out) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) out[i] = a.q[i];
+}
+void sc_art_set_qpos(void* p, int env, int art, const double* q) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) { a.q[i] = q[i]; a.qd[i] = 0; }
+  a.clamp_limits();
+  a.fk();
+}
+void sc_art_get_qvel(void* p, int env, int art, double* out) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) out[i] = a.qd[i];
+}
+void sc_art_get_qlimits(void* p, int env, int art, double* lo, double* hi) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) {
+    lo[i] = a.links[a.dof_links[i]].lo;
+    hi[i] = a.links[a.dof_links[i]].hi;
+  }
+}
+void sc_art_set_root(void* p, int env, int art, const double* root7) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  a.root = pose_from7(root7);
+  a.fk();
+}
+void sc_art_set_drive_target(void* p, int env, int art, const double* t) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) a.target[i] = t[i];
+}
+void sc_art_get_drive_target(void* p, int env, int art, double* out) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  for (int i = 0; i < a.dof(); i++) out[i] = a.target[i];
+}
+void sc_art_get_link_pose(void* p, int env, int art, int link, double* out7) {
+  pose_to7(((Pool*)p)->envs[env].arts[art].link_pose[link], out7);
+}
+void sc_get_hand_pose(void* p, int env, double* out7) {
+  pose_to7(((Pool*)p)->envs[env].hand_pose(), out7);
+}
+int sc_get_part_aabb(void* p, int env, int art, int link, int vid,
+                     double* mn3, double* mx3) {
+  Vec3 mn, mx;
+  if (!((Pool*)p)->envs[env].part_local_aabb(art, link, vid, &mn, &mx)) return 0;
+  mn3[0] = mn.x; mn3[1] = mn.y; mn3[2] = mn.z;
+  mx3[0] = mx.x; mx3[1] = mx.y; mx3[2] = mx.z;
+  return 1;
+}
+
+// --- batched stepping ---
+// Direct control-step for all masked envs: actions (n_envs, act_dim) where
+// act_dim = n_arm + 1 (last entry drives both fingers), drive_mode 0=delta
+// 1=pos (reference base_manipulation.py:735-779 semantics).
+void sc_step_all(void* p, const uint8_t* mask, const double* actions, int act_dim,
+                 int drive_mode, int n_substeps) {
+  Pool& pool = *(Pool*)p;
+  int n = (int)pool.envs.size();
+  pool.tp.parallel_for(n, [&](int i) {
+    if (mask && !mask[i]) return;
+    EnvSim& e = pool.envs[i];
+    Articulation& r = e.robot();
+    const double* act = actions + (size_t)i * act_dim;
+    for (int d = 0; d < e.n_arm; d++) {
+      if (drive_mode == 0) r.target[d] += act[d];
+      else r.target[d] = act[d];
+      const Link& l = r.links[r.dof_links[d]];
+      r.target[d] = std::max(l.lo, std::min(l.hi, r.target[d]));
+    }
+    for (int d = e.n_arm; d < r.dof(); d++) {
+      const Link& l = r.links[r.dof_links[d]];
+      r.target[d] = std::max(l.lo, std::min(l.hi, act[act_dim - 1]));
+    }
+    for (int s = 0; s < n_substeps; s++) e.step();
+  });
+}
+
+// IK-mode move for all masked envs (reference _move_to planner="ik",
+// base_manipulation.py:471-493): re-solve DLS IK every 10 steps, ramp the
+// drive target linearly, then hold for wait_steps.
+void sc_exec_ik_move(void* p, const uint8_t* mask, const double* targets7,
+                     int run_steps, int wait_steps, uint8_t* success) {
+  Pool& pool = *(Pool*)p;
+  int n = (int)pool.envs.size();
+  pool.tp.parallel_for(n, [&](int i) {
+    if (mask && !mask[i]) return;
+    EnvSim& e = pool.envs[i];
+    Articulation& r = e.robot();
+    Pose target = e.robot().root * pose_from7(targets7 + (size_t)i * 7);
+    double sol[7];
+    for (int d = 0; d < e.n_arm; d++) sol[d] = r.target[d];
+    for (int s = 0; s < run_steps; s++) {
+      if (s % 10 == 0) {
+        std::vector<double> qi(r.q.begin(), r.q.begin() + e.n_arm);
+        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4);
+      }
+      for (int d = 0; d < e.n_arm; d++) {
+        r.target[d] += (sol[d] - r.target[d]) / (run_steps - s);
+        const Link& l = r.links[r.dof_links[d]];
+        r.target[d] = std::max(l.lo, std::min(l.hi, r.target[d]));
+      }
+      e.step();
+    }
+    for (int s = 0; s < wait_steps; s++) {
+      for (int d = 0; d < e.n_arm; d++) r.target[d] = sol[d];
+      e.step();
+    }
+    if (success) success[i] = 1;
+  });
+}
+
+// Path-mode move (reference _move_to planner="path",
+// base_manipulation.py:495-538): RRT-Connect with object obstacles and an
+// optional front wall, executed one waypoint per control step; falls back to
+// IK mode when planning fails. teleport!=0 reproduces skip_move: set qpos to
+// the final waypoint directly (base_manipulation.py:429-468).
+void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
+                       int use_wall, int wait_steps, int run_steps_fallback,
+                       int teleport, uint8_t* success) {
+  Pool& pool = *(Pool*)p;
+  int n = (int)pool.envs.size();
+  pool.tp.parallel_for(n, [&](int i) {
+    if (mask && !mask[i]) return;
+    EnvSim& e = pool.envs[i];
+    Articulation& r = e.robot();
+    Pose target = r.root * pose_from7(targets7 + (size_t)i * 7);
+
+    auto ik_fallback = [&]() {
+      double sol[7];
+      for (int d = 0; d < e.n_arm; d++) sol[d] = r.target[d];
+      for (int s = 0; s < run_steps_fallback; s++) {
+        if (s % 10 == 0) {
+          std::vector<double> qi(r.q.begin(), r.q.begin() + e.n_arm);
+          e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4);
+        }
+        for (int d = 0; d < e.n_arm; d++) {
+          r.target[d] += (sol[d] - r.target[d]) / (run_steps_fallback - s);
+          const Link& l = r.links[r.dof_links[d]];
+          r.target[d] = std::max(l.lo, std::min(l.hi, r.target[d]));
+        }
+        e.step();
+      }
+      for (int s = 0; s < wait_steps; s++) e.step();
+    };
+
+    double goal[7];
+    std::vector<double> q0(r.q.begin(), r.q.begin() + e.n_arm);
+    if (!e.dls_ik(target, q0.data(), goal, 200, 0.08, 1e-4)) {
+      ik_fallback();
+      if (success) success[i] = 0;
+      return;
+    }
+    PlanContext ctx;
+    build_obstacles(e, use_wall != 0, &ctx);
+    std::vector<std::vector<double>> path;
+    std::vector<double> goal_v(goal, goal + 7);
+    if (!rrt_connect(ctx, q0, goal_v, &path)) {
+      ik_fallback();
+      if (success) success[i] = 0;
+      return;
+    }
+    std::vector<std::vector<double>> wps;
+    discretize_path(path, 0.005, &wps);  // vel limit 1 rad/s at dt=0.005
+    if (teleport) {
+      for (int d = 0; d < e.n_arm; d++) {
+        r.q[d] = wps.back()[d];
+        r.qd[d] = 0;
+        r.target[d] = wps.back()[d];
+      }
+      r.fk();
+      for (int s = 0; s < 1 + wait_steps; s++) e.step();
+    } else {
+      for (auto& wp : wps) {
+        for (int d = 0; d < e.n_arm; d++) r.target[d] = wp[d];
+        e.step();
+      }
+      for (int s = 0; s < wait_steps; s++) {
+        for (int d = 0; d < e.n_arm; d++) r.target[d] = wps.back()[d];
+        e.step();
+      }
+    }
+    if (success) success[i] = 1;
+  });
+}
+
+// Gripper toggle for all masked envs: 40 control steps driving both fingers
+// (reference base_manipulation.py:817-828).
+void sc_gripper_toggle(void* p, const uint8_t* mask, int open, int steps) {
+  Pool& pool = *(Pool*)p;
+  int n = (int)pool.envs.size();
+  pool.tp.parallel_for(n, [&](int i) {
+    if (mask && !mask[i]) return;
+    EnvSim& e = pool.envs[i];
+    Articulation& r = e.robot();
+    if (open) e.release_grasp();
+    for (int s = 0; s < steps; s++) {
+      for (int d = e.n_arm; d < r.dof(); d++) r.target[d] = open ? 0.04 : 0.0;
+      e.step();
+    }
+  });
+}
+
+// Release the arm drive target to the current qpos
+// (reference base_manipulation.py:391-394 `_release_target`).
+void sc_release_target(void* p, const uint8_t* mask) {
+  Pool& pool = *(Pool*)p;
+  for (size_t i = 0; i < pool.envs.size(); i++) {
+    if (mask && !mask[i]) continue;
+    EnvSim& e = pool.envs[i];
+    Articulation& r = e.robot();
+    for (int d = 0; d < e.n_arm; d++) r.target[d] = r.q[d];
+  }
+}
+
+int sc_ik(void* p, int env, const double* target7_robot_frame, const double* q_init,
+          double* q_out, int max_iters, double damping) {
+  EnvSim& e = ((Pool*)p)->envs[env];
+  Pose target = e.robot().root * pose_from7(target7_robot_frame);
+  return e.dls_ik(target, q_init, q_out, max_iters, damping) ? 1 : 0;
+}
+
+// --- batched rendering ---
+void sc_render_all(void* p, const uint8_t* mask, const double* cam_poses7, int W, int H,
+                   double fovy, float* rgb, float* depth, float* pos, float* normal,
+                   int32_t* seg) {
+  Pool& pool = *(Pool*)p;
+  int n = (int)pool.envs.size();
+  size_t px = (size_t)W * H;
+  // parallelize across env*rows via nested dispatch: envs outer, pool rows inner
+  // (simplest correct scheme: one env at a time, rows in parallel)
+  for (int i = 0; i < n; i++) {
+    if (mask && !mask[i]) continue;
+    render_env(pool.envs[i], pose_from7(cam_poses7 + (size_t)i * 7), W, H, fovy,
+               rgb + px * 3 * i, depth + px * i, pos + px * 3 * i,
+               normal + px * 3 * i, seg + px * i, &pool.tp);
+  }
+}
+
+int sc_version() { return 1; }
+
+}  // extern "C"
