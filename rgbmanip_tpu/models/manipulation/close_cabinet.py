@@ -1,0 +1,106 @@
+"""Close-cabinet/drawer scripted skills (reference
+models/manipulation/close_{cabinet,drawer}.py): grasp the handle of the open
+part, then push along +approach (cur_dir = +pre_grasp_axis) to close it."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base_manipulation import BaseManipulation
+from .open_cabinet import batch_frame_quats
+from ...utils.transform import normalize
+
+
+class CloseCabinetManipulation(BaseManipulation):
+
+    GRIP_X_SIGN = -1.0  # vertical-handle grip (cabinet)
+
+    def plan_pathway(self, center, axis, eval=False):
+        center = np.asarray(center, dtype=np.float64)
+        axis = np.asarray(axis, dtype=np.float64)
+        batch = center.shape[0]
+        y_ = np.tile([0.0, 1.0, 0.0], (batch, 1))
+        z_ = np.tile([0.0, 0.0, 1.0], (batch, 1))
+
+        pre_grasp_axis = axis[:, 0].copy()
+        pre_grasp_axis -= z_ * (pre_grasp_axis * z_).sum(-1, keepdims=True)
+        norm = np.linalg.norm(pre_grasp_axis, axis=-1, keepdims=True)
+        pre_grasp_axis = np.where(norm < 1e-8, y_, pre_grasp_axis / (norm + 1e-8))
+        pre_grasp_p = center - pre_grasp_axis * 0.2
+        pre_grasp_x = self.GRIP_X_SIGN * z_
+        pre_grasp_z = pre_grasp_axis
+        pre_grasp_y = np.cross(pre_grasp_z, pre_grasp_x)
+        pre_grasp_q = batch_frame_quats(pre_grasp_x, pre_grasp_y, pre_grasp_z)
+        pre_grasp_pose = np.concatenate([pre_grasp_p, pre_grasp_q], axis=-1)
+
+        self.env.class_method("toggle_gripper", open=True)
+        self.env.hand_move_to(pre_grasp_pose, time=2, wait=2, planner="path",
+                              no_collision_with_front=True)
+
+        grasp_p = pre_grasp_p + pre_grasp_axis * 0.18
+        grasp_pose = np.concatenate([grasp_p, pre_grasp_q], axis=-1)
+        self.env.hand_move_to(grasp_pose, time=2, wait=1, planner="ik")
+        self.env.class_method("toggle_gripper", open=False)
+
+        # push along +approach to close
+        cur_dir = pre_grasp_axis
+        for step_size in self.cfg["step_sizes"]:
+            cur_p = self.env.gripper_pose()[:, :3]
+            pred_p = cur_p + cur_dir * step_size
+            next_x = self.GRIP_X_SIGN * z_
+            next_z = -cur_dir
+            next_y = np.cross(next_z, next_x)
+            pred_q = batch_frame_quats(next_x, next_y, next_z)
+            pred_pose = np.concatenate([pred_p, pred_q], axis=-1)
+            self.env.gripper_move_to(pred_pose, time=step_size * 10,
+                                     wait=step_size * 5)
+            new_p = self.env.gripper_pose()[:, :3]
+            new_dir = new_p - cur_p
+            new_dir[:, 2] = 0.0
+            new_dir = normalize(new_dir)
+            delta = new_dir - cur_dir
+            dot = np.clip((new_dir * cur_dir).sum(-1, keepdims=True), -1, 1)
+            cur_dir = normalize(cur_dir + 2 * delta * dot)
+
+
+class CloseDrawerManipulation(CloseCabinetManipulation):
+    """Horizontal-handle grip; straight push (reference close_drawer.py)."""
+
+    def plan_pathway(self, center, axis, eval=False):
+        center = np.asarray(center, dtype=np.float64)
+        axis = np.asarray(axis, dtype=np.float64)
+        batch = center.shape[0]
+        y_ = np.tile([0.0, 1.0, 0.0], (batch, 1))
+        z_ = np.tile([0.0, 0.0, 1.0], (batch, 1))
+
+        pre_grasp_axis = axis[:, 0].copy()
+        pre_grasp_axis -= z_ * (pre_grasp_axis * z_).sum(-1, keepdims=True)
+        norm = np.linalg.norm(pre_grasp_axis, axis=-1, keepdims=True)
+        pre_grasp_axis = np.where(norm < 1e-8, y_, pre_grasp_axis / (norm + 1e-8))
+        pre_grasp_p = center - pre_grasp_axis * 0.2
+        pre_grasp_y = -z_
+        pre_grasp_z = pre_grasp_axis
+        pre_grasp_x = np.cross(pre_grasp_y, pre_grasp_z)
+        pre_grasp_q = batch_frame_quats(pre_grasp_x, pre_grasp_y, pre_grasp_z)
+        pre_grasp_pose = np.concatenate([pre_grasp_p, pre_grasp_q], axis=-1)
+
+        self.env.class_method("toggle_gripper", open=True)
+        self.env.hand_move_to(pre_grasp_pose, time=2, wait=2, planner="path",
+                              no_collision_with_front=True)
+
+        grasp_p = pre_grasp_p + pre_grasp_axis * 0.18
+        grasp_pose = np.concatenate([grasp_p, pre_grasp_q], axis=-1)
+        self.env.hand_move_to(grasp_pose, time=2, wait=1, planner="ik")
+        self.env.class_method("toggle_gripper", open=False)
+
+        cur_dir = pre_grasp_axis
+        for step_size in self.cfg["step_sizes"]:
+            cur_p = self.env.gripper_pose()[:, :3]
+            pred_p = cur_p + cur_dir * step_size
+            next_y = -z_
+            next_z = -cur_dir
+            next_x = np.cross(next_y, next_z)
+            pred_q = batch_frame_quats(next_x, next_y, next_z)
+            pred_pose = np.concatenate([pred_p, pred_q], axis=-1)
+            self.env.gripper_move_to(pred_pose, time=step_size * 10,
+                                     wait=step_size * 5)

@@ -192,8 +192,8 @@ struct GraspConfig {
   int grasp_visual_id = 129;  // shapes with this id form the grasp target OBB
   double max_aperture = 0.09;
   double grasp_margin = 0.035;  // distance from grip center to OBB to engage
-  double slip_dist = 0.05;
-  int slip_steps = 12;
+  double slip_dist = 0.07;
+  int slip_steps = 25;
   double max_vel_rev = 2.5;    // rad/s cap on the object joint while grasped
   double max_vel_prism = 1.0;  // m/s
 };
@@ -320,26 +320,33 @@ struct EnvSim {
 
   void release_grasp() { grasp.grasped = false; grasp.slip_count = 0; }
 
-  // --- damped-least-squares IK on the arm (Pinocchio replacement;
-  //     semantics of reference osc_planner.py:14-26) ---
-  bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
-              int max_iters = 120, double damping = 0.08, double tol = 1e-4) {
+  // --- damped-least-squares IK on the arm (Pinocchio/mplib-IK replacement;
+  //     semantics of reference osc_planner.py:14-26). Levenberg-style
+  //     adaptive damping + random restarts from joint-space samples. ---
+  void ik_errors(const Pose& target_world, const Pose& cur, Vec3* ep, Vec3* er) {
+    *ep = target_world.p - cur.p;
+    Quat qe = (target_world.q * cur.q.conj()).normalized();
+    if (qe.w < 0) qe = {-qe.w, -qe.x, -qe.y, -qe.z};
+    double ang = 2.0 * std::atan2(
+        std::sqrt(qe.x * qe.x + qe.y * qe.y + qe.z * qe.z), qe.w);
+    *er = Vec3{qe.x, qe.y, qe.z}.normalized() * ang;
+  }
+
+  // One DLS descent from the current r.q; returns final weighted error.
+  double ik_descend(const Pose& target_world, int max_iters, double damping,
+                    double pos_tol, double rot_tol) {
     Articulation& r = robot();
-    std::vector<double> q_save = r.q;
-    if (q_init) for (int i = 0; i < n_arm; i++) r.q[i] = q_init[i];
-    bool ok = false;
+    double lambda = damping;
+    double best_err = 1e18;
     for (int it = 0; it < max_iters; it++) {
       r.fk();
       Pose cur = r.link_pose[ee_link];
-      Vec3 ep = target_world.p - cur.p;
-      Quat qe = (target_world.q * cur.q.conj()).normalized();
-      if (qe.w < 0) qe = {-qe.w, -qe.x, -qe.y, -qe.z};
-      double ang = 2.0 * std::atan2(std::sqrt(qe.x * qe.x + qe.y * qe.y + qe.z * qe.z),
-                                    qe.w);
-      Vec3 er = Vec3{qe.x, qe.y, qe.z}.normalized() * ang;
+      Vec3 ep, er;
+      ik_errors(target_world, cur, &ep, &er);
       double err = ep.norm() + 0.3 * er.norm();
-      if (err < tol) { ok = true; break; }
-      // geometric jacobian, arm dofs only
+      if (ep.norm() < pos_tol && er.norm() < rot_tol) return err;
+      if (err < best_err) { best_err = err; lambda = std::max(lambda * 0.8, 1e-3); }
+      else lambda = std::min(lambda * 1.6, 0.5);
       double J[6][7];
       for (int d = 0; d < n_arm; d++) {
         const Link& l = r.links[r.dof_links[d]];
@@ -355,28 +362,60 @@ struct EnvSim {
         }
       }
       double e6[6] = {ep.x, ep.y, ep.z, er.x, er.y, er.z};
-      // A = J J^T + damping^2 I
       double A[6][6];
       for (int i = 0; i < 6; i++)
         for (int j = 0; j < 6; j++) {
           double s = 0;
           for (int d = 0; d < n_arm; d++) s += J[i][d] * J[j][d];
-          A[i][j] = s + (i == j ? damping * damping : 0.0);
+          A[i][j] = s + (i == j ? lambda * lambda : 0.0);
         }
       double y[6];
       if (!solve6(A, e6, y)) break;
       for (int d = 0; d < n_arm; d++) {
         double dq = 0;
         for (int i = 0; i < 6; i++) dq += J[i][d] * y[i];
-        dq = std::max(-0.2, std::min(0.2, dq));
+        dq = std::max(-0.3, std::min(0.3, dq));
         const Link& l = r.links[r.dof_links[d]];
         r.q[d] = std::max(l.lo, std::min(l.hi, r.q[d] + dq));
       }
     }
-    for (int i = 0; i < n_arm; i++) q_out[i] = r.q[i];
+    r.fk();
+    Pose cur = r.link_pose[ee_link];
+    Vec3 ep, er;
+    ik_errors(target_world, cur, &ep, &er);
+    return ep.norm() + 0.3 * er.norm();
+  }
+
+  bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
+              int max_iters = 120, double damping = 0.08, double tol = 1e-4,
+              int restarts = 5) {
+    Articulation& r = robot();
+    double pos_tol = std::max(tol, 1e-3), rot_tol = 1e-2;
+    std::vector<double> q_save = r.q;
+    if (q_init) for (int i = 0; i < n_arm; i++) r.q[i] = q_init[i];
+    std::vector<double> best_q(r.q.begin(), r.q.begin() + n_arm);
+    double best = 1e18;
+    std::uniform_real_distribution<double> uni(0, 1);
+    for (int attempt = 0; attempt <= restarts; attempt++) {
+      if (attempt > 0) {
+        for (int d = 0; d < n_arm; d++) {
+          const Link& l = r.links[r.dof_links[d]];
+          r.q[d] = l.lo + (l.hi - l.lo) * uni(rng);
+        }
+      }
+      double err = ik_descend(target_world, max_iters, damping, pos_tol, rot_tol);
+      if (err < best) {
+        best = err;
+        for (int d = 0; d < n_arm; d++) best_q[d] = r.q[d];
+      }
+      if (best < pos_tol + 0.3 * rot_tol) break;
+      // restore the seed for the next attempt's sampling baseline
+      for (int i = 0; i < n_arm; i++) r.q[i] = q_save[i];
+    }
+    for (int i = 0; i < n_arm; i++) q_out[i] = best_q[i];
     r.q = q_save;
     r.fk();
-    return ok;
+    return best < pos_tol + 0.3 * rot_tol;
   }
 
   // Gripper contact spheres (palm + finger pads) against the object's
@@ -546,7 +585,7 @@ struct EnvSim {
     }
     double q_sol[7];
     std::vector<double> qi(r.q.begin(), r.q.begin() + n_arm);
-    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4)) {
+    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0)) {
       for (int d = 0; d < n_arm; d++) { r.q[d] = q_sol[d]; r.qd[d] = 0; }
       r.fk();
     }
@@ -973,9 +1012,13 @@ static void build_obstacles(EnvSim& e, bool use_wall, PlanContext* ctx) {
       Pose part = obj.link_pose[e.gcfg.part_link];
       Pose wall_local{{(mn.x + mx.x) / 2, (mn.y + mx.y) / 2, (mn.z + mx.z) / 2}, Quat{}};
       Pose wall = part * wall_local;
-      // offset along the world direction from the part toward the robot base
-      Vec3 toward = (e.robot().root.p - wall.p).normalized();
-      wall.p += toward * 0.17;
+      // offset slightly behind the handle (away from the robot): the wall is
+      // the door plane that keeps the RRT from sweeping the arm through the
+      // front of the object, while leaving the approach corridor free
+      Vec3 toward = (e.robot().root.p - wall.p);
+      toward.z = 0;
+      toward = toward.normalized();
+      wall.p += toward * -0.02;
       // orient the thin axis along `toward`
       Vec3 wx = toward;
       Vec3 wy = Vec3{0, 0, 1}.cross(wx).normalized();
@@ -1177,7 +1220,7 @@ void sc_exec_ik_move(void* p, const uint8_t* mask, const double* targets7,
     for (int s = 0; s < run_steps; s++) {
       if (s % 10 == 0) {
         std::vector<double> qi(r.q.begin(), r.q.begin() + e.n_arm);
-        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4);
+        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0);
       }
       for (int d = 0; d < e.n_arm; d++) {
         r.target[d] += (sol[d] - r.target[d]) / (run_steps - s);
@@ -1216,7 +1259,7 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       for (int s = 0; s < run_steps_fallback; s++) {
         if (s % 10 == 0) {
           std::vector<double> qi(r.q.begin(), r.q.begin() + e.n_arm);
-          e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4);
+          e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0);
         }
         for (int d = 0; d < e.n_arm; d++) {
           r.target[d] += (sol[d] - r.target[d]) / (run_steps_fallback - s);
@@ -1228,15 +1271,23 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       for (int s = 0; s < wait_steps; s++) e.step();
     };
 
+    PlanContext ctx;
+    build_obstacles(e, use_wall != 0, &ctx);
+    // collision-aware goal selection: retry IK until the goal config is
+    // collision-free (mplib's plan() does IK + validity internally)
     double goal[7];
     std::vector<double> q0(r.q.begin(), r.q.begin() + e.n_arm);
-    if (!e.dls_ik(target, q0.data(), goal, 200, 0.08, 1e-4)) {
+    bool goal_ok = false;
+    for (int attempt = 0; attempt < 4 && !goal_ok; attempt++) {
+      if (!e.dls_ik(target, attempt == 0 ? q0.data() : nullptr, goal, 200, 0.08, 1e-4))
+        continue;
+      goal_ok = !config_in_collision(ctx, goal);
+    }
+    if (!goal_ok) {
       ik_fallback();
       if (success) success[i] = 0;
       return;
     }
-    PlanContext ctx;
-    build_obstacles(e, use_wall != 0, &ctx);
     std::vector<std::vector<double>> path;
     std::vector<double> goal_v(goal, goal + 7);
     if (!rrt_connect(ctx, q0, goal_v, &path)) {

@@ -1,0 +1,227 @@
+"""Experiment driver (reference train.py:45-473).
+
+Usage mirrors the reference CLI (hydra-style overrides):
+
+    python train.py dataset=cabinet_train task=open_cabinet \
+        pose_estimator=ground_truth manipulation=open_cabinet \
+        controller=heuristic_pose train=test
+
+Four run modes: test (evaluate, report success rate + move distance),
+controller (PPO-train the camera scheduler), collect (offline data),
+test_baseline (replay offline baseline actions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+from .config import load_config, ConfigError
+from .config.loader import save_config
+from .utils.logger import MetricsWriter, get_logger
+
+
+def prepare_env(task_cfg, data_cfg, headless=True, viewerless=False, log=None, seed=0):
+    """Construct the batched task env (reference train.py:45-149)."""
+    from .envs.vec_env import CloseCabinetEnv, OpenCabinetEnv, OpenPotEnv
+
+    name = task_cfg["name"]
+    kw = dict(headless=headless, viewerless=viewerless, logger=log, seed=seed)
+    if name in ("open_cabinet", "open_drawer", "open_cabinet_visualize"):
+        return OpenCabinetEnv(data_cfg, task_cfg, **kw)
+    if name in ("open_pot", "pick_mug"):
+        return OpenPotEnv(data_cfg, task_cfg, **kw)
+    if name in ("close_cabinet", "close_drawer"):
+        return CloseCabinetEnv(data_cfg, task_cfg, **kw)
+    if name == "real_world":
+        from .envs.realworld.base_realworld import BaseRealworldEnv
+        return BaseRealworldEnv()
+    raise NotImplementedError(f"task {name!r}")
+
+
+def prepare_manipulation(env, manip_cfg, log, train_cfg=None):
+    """(reference train.py:151-178)"""
+    from .models.manipulation.close_cabinet import (
+        CloseCabinetManipulation, CloseDrawerManipulation)
+    from .models.manipulation.open_cabinet import OpenCabinetManipulation
+    from .models.manipulation.open_drawer import OpenDrawerManipulation
+    from .models.manipulation.open_pot import OpenPotManipulation
+    from .models.manipulation.pick_mug import PickMugManipulation
+
+    table = {
+        "open_cabinet": OpenCabinetManipulation,
+        "open_drawer": OpenDrawerManipulation,
+        "open_pot": OpenPotManipulation,
+        "pick_mug": PickMugManipulation,
+        "close_cabinet": CloseCabinetManipulation,
+        "close_drawer": CloseDrawerManipulation,
+    }
+    name = manip_cfg["name"]
+    if name == "rl":
+        from .models.manipulation.rl import RLManipulation
+        return RLManipulation(env, manip_cfg, log)
+    return table[name](env, manip_cfg, log)
+
+
+def prepare_pose_estimator(env, pe_cfg, log):
+    """(reference train.py:216-260)"""
+    name = pe_cfg["name"]
+    if name == "ground_truth":
+        from .models.pose_estimator.groundtruth_estimator import GroundTruthPoseEstimator
+        return GroundTruthPoseEstimator(env, pe_cfg, log)
+    if name.startswith("adapose"):
+        from .models.pose_estimator.adapose import AdaPoseEstimator
+        return AdaPoseEstimator(pe_cfg, log)
+    raise NotImplementedError(f"pose_estimator {name!r}")
+
+
+def prepare_controller(env, pose_estimator, manipulation, ctrl_cfg, cfg, log, writer=None):
+    """(reference train.py:180-214)"""
+    name = ctrl_cfg["name"]
+    if name == "heuristic_pose":
+        from .models.controller.heuristic_pose import HeuristicPoseController
+        return HeuristicPoseController(env, pose_estimator, manipulation, ctrl_cfg, log)
+    if name == "gt_pose":
+        from .models.controller.gt_pose import GtPoseController
+        return GtPoseController(env, pose_estimator, manipulation, ctrl_cfg, log)
+    if name == "rl":
+        from .models.controller.rl_pose import RLPoseController
+        return RLPoseController(env, pose_estimator, manipulation, ctrl_cfg, cfg, log,
+                                writer=writer)
+    if name == "collection":
+        from .models.controller.collection import CollectionController
+        return CollectionController(env, pose_estimator, manipulation, ctrl_cfg, log)
+    if name == "homing":
+        from .models.controller.homing import HomingController
+        return HomingController(env, pose_estimator, manipulation, ctrl_cfg, log)
+    if name == "baseline":
+        from .models.controller.baseline import BaselineController
+        return BaselineController(env, pose_estimator, manipulation, ctrl_cfg, log)
+    raise NotImplementedError(f"controller {name!r}")
+
+
+def test(env, controller, cfg, log, writer=None):
+    """Evaluation loop (reference train.py:262-285): run total_round rounds,
+    report success rate and mean move distance."""
+    total_round = cfg["train"]["total_round"]
+    n = env.num_envs
+    succ, dist, rounds = 0.0, 0.0, 0
+    t0 = time.time()
+    for rnd in range(int(np.ceil(total_round / n))):
+        env.reset()
+        controller.run(eval=True)
+        obs = env.get_observation()
+        succ += float(obs["success"].sum())
+        dist += float(obs["total_move_distance"].sum())
+        rounds += n
+        rate = succ / rounds * 100
+        log.info(f"round {rounds}/{total_round}: success {rate:.2f}% "
+                 f"move {dist / rounds:.3f} m ({(time.time()-t0)/rounds:.2f} s/ep)")
+        if writer:
+            writer.add_scalar("test/success_rate", rate, rounds)
+            writer.add_scalar("test/move_distance", dist / rounds, rounds)
+        if rounds >= total_round:
+            break
+    log.info(f"FINAL success rate {succ / rounds * 100:.2f}%  "
+             f"move distance {dist / rounds:.3f} m over {rounds} episodes")
+    return {"success_rate": succ / rounds * 100, "move_distance": dist / rounds,
+            "rounds": rounds}
+
+
+def collect(env, controller, cfg, log):
+    """(reference train.py:384-394)"""
+    total_round = cfg["train"]["total_round"]
+    n = env.num_envs
+    for rnd in range(int(np.ceil(total_round / n))):
+        env.reset()
+        controller.run(eval=False)
+        log.info(f"collect round {rnd + 1}")
+
+
+def train(env, controller, cfg, log):
+    """PPO training of the camera-scheduling controller (reference train.py:396-410)."""
+    iters = cfg["train"].get("iterations_per_epoch", 600)
+    if cfg["train"].get("train_controller", False):
+        controller.train_controller(iters)
+    if cfg["train"].get("train_manipulation", False):
+        controller.train_manipulation(iters)
+
+
+def test_baseline(env, controller, cfg, log):
+    """Replay offline baseline actions against saved task settings
+    (reference train.py:287-382)."""
+    root = cfg["train"]["task_setting_root"]
+    action_path = cfg["train"]["action_path"]
+    if not root or not action_path:
+        raise ConfigError("test_baseline needs train.task_setting_root and train.action_path")
+    settings = {}
+    for fname in sorted(os.listdir(root)):
+        if fname.endswith(".pkl"):
+            with open(os.path.join(root, fname), "rb") as f:
+                settings[os.path.splitext(fname)[0]] = pickle.load(f)
+    succ, rounds = 0.0, 0
+    with open(action_path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if not parts:
+                continue
+            key = parts[0]
+            if key not in settings:
+                continue
+            vals = np.asarray([float(v) for v in parts[1:]])
+            if len(vals) >= 6:
+                point, direction = vals[:3], vals[3:6]
+            else:
+                continue
+            controller.run(settings[key], np.concatenate([point, direction]))
+            obs = env.get_observation()
+            succ += float(obs["success"].sum())
+            rounds += env.num_envs
+            log.info(f"baseline {key}: success {succ / rounds * 100:.2f}%")
+    log.info(f"BASELINE success rate {succ / max(rounds, 1) * 100:.2f}%")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = load_config(argv)
+    log = get_logger()
+
+    run_name = cfg["train"]["name"]
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S") + "_" + str(cfg.get("exp_name", "run"))
+    log_dir = os.path.join(cfg["train"].get("log_dir", "./logs"), run_name, stamp)
+    save_dir = os.path.join(cfg["train"].get("save_dir", "./saves"), run_name, stamp)
+    os.makedirs(save_dir, exist_ok=True)
+    writer = MetricsWriter(log_dir)
+    save_config(cfg, os.path.join(save_dir, "config.yaml"))
+
+    env = prepare_env(cfg["task"], cfg["dataset"], cfg.get("headless", True),
+                      cfg.get("viewerless", False), log, seed=cfg.get("seed", 0))
+    manipulation = prepare_manipulation(env, cfg["manipulation"], log, cfg["train"])
+    pose_estimator = prepare_pose_estimator(env, cfg["pose_estimator"], log)
+    controller = prepare_controller(env, pose_estimator, manipulation,
+                                    cfg["controller"], cfg, log, writer=writer)
+
+    result = None
+    if run_name == "test":
+        result = test(env, controller, cfg, log, writer)
+        with open(os.path.join(save_dir, "result.json"), "w") as f:
+            json.dump(result, f)
+    elif run_name == "collect":
+        collect(env, controller, cfg, log)
+    elif run_name == "train":
+        train(env, controller, cfg, log)
+    elif run_name == "test_baseline":
+        test_baseline(env, controller, cfg, log)
+    else:
+        raise NotImplementedError(run_name)
+    writer.close()
+    return result
+
+
+if __name__ == "__main__":
+    main()
