@@ -131,7 +131,10 @@ def _one_drawer_cabinet(rng: np.random.Generator) -> Tuple[ArticulationSpec, Obj
     D = rng.uniform(0.35, 0.55)
     H = rng.uniform(0.5, 1.0)
     dr_h = rng.uniform(0.14, 0.26)               # drawer front height
-    dr_cz = rng.uniform(0.1, 0.6) * H - H / 2    # drawer center height
+    # keep the drawer in the upper half of the body so its handle stays in
+    # the robot's comfortable workspace (PartNet drawers used by the
+    # reference are top drawers)
+    dr_cz = rng.uniform(0.5, 0.8) * H - H / 2    # drawer center height
     dr_w = W - 0.06
     handle_len = rng.uniform(0.10, 0.18)
     standoff = 0.045

@@ -1,0 +1,105 @@
+"""End-to-end slice tests: full stack (sim + planner + skills + controllers)
+with the ground-truth estimator. Seeded; thresholds are conservative lower
+bounds on the measured success rates (cabinet ~81%, drawer ~73%, pot ~94%)."""
+
+import numpy as np
+import pytest
+
+from rgbmanip_tpu.config import load_config
+from rgbmanip_tpu.train import (
+    prepare_controller, prepare_env, prepare_manipulation,
+    prepare_pose_estimator, test as run_test,
+)
+from rgbmanip_tpu.utils.logger import get_logger
+
+LOG = get_logger()
+LOG.setLevel("WARNING")
+
+
+def run_stack(overrides, rounds=16, n=8):
+    cfg = load_config(overrides + [f"task.num_envs={n}", f"train.total_round={rounds}"])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        manip = prepare_manipulation(env, cfg["manipulation"], LOG)
+        pe = prepare_pose_estimator(env, cfg["pose_estimator"], LOG)
+        ctrl = prepare_controller(env, pe, manip, cfg["controller"], cfg, LOG)
+        return run_test(env, ctrl, cfg, LOG)
+    finally:
+        env.close()
+
+
+def test_gt_pose_open_cabinet():
+    r = run_stack(["controller=gt_pose"])
+    assert r["success_rate"] >= 50.0, r
+
+
+def test_gt_pose_open_drawer():
+    r = run_stack(["controller=gt_pose", "task=open_drawer",
+                   "manipulation=open_drawer", "dataset=drawer_train"])
+    assert r["success_rate"] >= 40.0, r
+
+
+def test_gt_pose_open_pot():
+    r = run_stack(["controller=gt_pose", "task=open_pot",
+                   "manipulation=open_pot", "dataset=pot_train"])
+    assert r["success_rate"] >= 60.0, r
+
+
+def test_heuristic_controller_runs():
+    r = run_stack(["controller=heuristic_pose"], rounds=8)
+    assert r["rounds"] == 8
+
+
+def test_env_surface():
+    cfg = load_config(["task.num_envs=2"])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        obs = env.reset(gt=True)
+        assert obs["handle_bbox"].shape == (2, 8, 3)
+        assert obs["robot_qpos"].shape == (2, 9)
+        imgs = env.get_image()
+        cam = imgs["camera0"]
+        assert cam["Color"].shape == (2, 480, 640, 3)
+        assert cam["Mask"].dtype == bool
+        assert cam["Intrinsic"].shape == (2, 3, 3)
+        assert cam["Extrinsic"].shape == (2, 4, 4)
+        # step surface
+        o, r, d, info = env.step(np.zeros((2, 8)))
+        assert r.shape == (2,) and d.shape == (2,)
+        # load() restores exact configs
+        cfgs = [{"obj_config": env.current_obj_config[e],
+                 "robot_config": env.current_robot_config[e]} for e in range(2)]
+        dof_before = env.obj_dof().copy()
+        env.reset()
+        env.load(cfgs)
+        np.testing.assert_allclose(env.obj_dof(), dof_before, atol=1e-9)
+    finally:
+        env.close()
+
+
+def test_mask_projects_handle():
+    """The rendered handle mask must reproject near the gt bbox center."""
+    cfg = load_config(["task.num_envs=2", "task=open_cabinet_no_dr"])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        env.reset()
+        # aim the camera at the handle from the front
+        bbox = env.handle_bbox()
+        center = (bbox[:, 0] + bbox[:, 6]) / 2
+        from rgbmanip_tpu.utils.transform import lookat_quat
+        cam_p = center - np.array([0.45, 0.0, 0.0])
+        q = lookat_quat(center - cam_p)
+        env.cam_move_to(np.concatenate([cam_p, q], -1), time=2, wait=1,
+                        planner="path", no_collision_with_front=False)
+        img = env.get_image()["camera0"]
+        for e in range(2):
+            mask = img["Mask"][e]
+            assert mask.sum() > 0, "handle not visible"
+            ys, xs = np.nonzero(mask)
+            # project gt center with K [R|t]
+            K, E = img["Intrinsic"][e], img["Extrinsic"][e]
+            pc = (E @ np.append(center[e], 1.0))[:3]
+            uv = K @ (pc / pc[2])
+            assert abs(uv[0] - xs.mean()) < 40 and abs(uv[1] - ys.mean()) < 40
+    finally:
+        env.close()
