@@ -237,6 +237,9 @@ class VecManipulationEnv:
             out[e] = (Pose.from_7d(hp[e]) * self.hand_cam_pose).to_7d()
         return out
 
+    def robot_pose(self) -> np.ndarray:
+        return np.stack([self.robot_root_pose[e].to_7d() for e in range(self.num_envs)])
+
     def robot_qpos(self) -> np.ndarray:
         return np.stack([self.pool.get_qpos(e, self.robot_art[e])
                          for e in range(self.num_envs)])
