@@ -1,0 +1,182 @@
+"""AdaPose estimator, TPU-native (reference AdaPose/interface_v5.py).
+
+The reference loops over the env batch in python, running preprocessing in
+numpy/cv2 and the network per sample (``interface_v5.py:215-374``). Here the
+whole ``estimate`` path — fused preprocessing, StereoPoseNet forward, and the
+pose solve (direct regression / depth back-projection + RANSAC-Umeyama /
+NOCS-match triangulation + PnP) — is one jitted batched function on device.
+
+Three solve modes, selected by cfg exactly as the reference
+(interface_v5.py:318-349):
+  - ``direct_regression``: network rotation + scale/translation recovered from
+    the predicted depth (lib/utils.py:98-119)
+  - ``use_depth``: back-project predicted depth, RANSAC-Umeyama similarity
+  - else: NOCS-match triangulation for scale + DLT PnP
+
+Failure modes return the out-of-scene sentinel bbox (+10 offset,
+interface_v5.py:236-245).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import geometry as G
+from ...ops.preprocess import depth_hypotheses, prepare_model_input
+from .base_estimator import BasePoseEstimator
+from .nets.stereo import StereoPoseNetWithDepth
+
+DEFAULT_BBOX = np.array([
+    [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+    [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1],
+], dtype=np.float32) + 10.0
+
+
+class AdaPoseEstimator(BasePoseEstimator):
+    def __init__(self, cfg: dict, logger, dtype=jnp.float32, seed: int = 0):
+        super().__init__(cfg, logger)
+        self.img_size = int(cfg.get("img_size", 224))
+        self.n_pts = int(cfg.get("n_pts", 1024))
+        self.direct_regression = bool(cfg.get("direct_regression", True))
+        self.use_depth = bool(cfg.get("use_depth", True))
+        self.model = StereoPoseNetWithDepth(
+            backend="resnet34", regress_pose=self.direct_regression, dtype=dtype)
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(self.key)
+
+        S, N = self.img_size, self.n_pts
+        dummy = (jnp.zeros((1, S, S, 3), dtype), jnp.zeros((1, N), jnp.int32),
+                 jnp.zeros((1, S, S, 3), dtype), jnp.zeros((1, N), jnp.int32),
+                 jnp.eye(4)[None], jnp.eye(4)[None], depth_hypotheses(1))
+        variables = self.model.init(init_key, *dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        if cfg.get("load") and cfg.get("checkpoint_path"):
+            self.load(cfg["checkpoint_path"])
+
+        self._estimate_fn = jax.jit(self._estimate)
+        self._forward_fn = jax.jit(self._forward)
+
+    # ------------------------------------------------------------------
+    def load(self, path: str):
+        """Load a checkpoint: flax msgpack or a converted torch state_dict."""
+        import os
+        if not os.path.exists(path):
+            self.logger.warning(f"checkpoint {path} not found; using random init")
+            return
+        if path.endswith(".pth"):
+            from .converter import convert_torch_checkpoint
+            self.params, self.batch_stats = convert_torch_checkpoint(
+                path, self.params, self.batch_stats)
+        else:
+            from flax import serialization
+            with open(path, "rb") as f:
+                restored = serialization.from_bytes(
+                    {"params": self.params, "batch_stats": self.batch_stats},
+                    f.read())
+            self.params = restored["params"]
+            self.batch_stats = restored["batch_stats"]
+        self.logger.info(f"loaded estimator checkpoint {path}")
+
+    def save(self, path: str):
+        from flax import serialization
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": self.params, "batch_stats": self.batch_stats}))
+
+    # ------------------------------------------------------------------
+    def _forward(self, params, batch_stats, v1_img, v1_choose, v2_img, v2_choose,
+                 P1, P2, depth_values):
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            v1_img, v1_choose, v2_img, v2_choose, P1, P2, depth_values,
+            train=False)
+
+    def _solve_one(self, nocs1, depth1, choose1, newK1, R_pred, pts2d1, nocs2,
+                   pts2d2, origK, ext1, ext2, key):
+        """Per-env pose solve -> (bbox (8,3) camera frame, ok)."""
+        S = self.img_size
+        px = (choose1 % S).astype(jnp.float32)
+        py = (choose1 // S).astype(jnp.float32)
+        pts_resized = jnp.stack([px, py], axis=-1)
+
+        if self.direct_regression:
+            tt, ts = G.compute_scale_and_translation(
+                depth1, nocs1, pts_resized, newK1, R_pred)
+            tr = R_pred
+            ok = jnp.isfinite(ts)
+        elif self.use_depth:
+            cam_pts = G.backproject(depth1, pts_resized, newK1)
+            ts, tr, tt, ok = G.ransac_umeyama(nocs1, cam_pts, key)
+        else:
+            P1 = origK @ ext1[:3]
+            P2 = origK @ ext2[:3]
+            ts, ok = G.depth_from_nocs_matches(
+                pts2d1, nocs1, jnp.eye(4).at[:3].set(P1), ext1,
+                pts2d2, nocs2, jnp.eye(4).at[:3].set(P2), ext2, origK)
+            tr, tt = G.pnp_dlt(nocs1 * ts, pts2d1, origK)
+
+        half = jnp.max(jnp.abs(nocs1), axis=0)
+        size = 2.0 * half * ts
+        bbox = G.get_3d_bbox(size)            # (3, 8)
+        sRT = jnp.eye(4).at[:3, :3].set(tr).at[:3, 3].set(tt.reshape(-1))
+        bbox_cam = G.transform_coordinates_3d(bbox, sRT)
+        return bbox_cam, ok & jnp.isfinite(bbox_cam).all()
+
+    def _estimate(self, params, batch_stats, K, rgb1, mask1, ext1, rgb2, mask2,
+                  ext2, key):
+        B = rgb1.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
+            rgb1, mask1, K, k1, self.img_size, self.n_pts)
+        c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
+            rgb2, mask2, K, k2, self.img_size, self.n_pts)
+
+        def full_proj(newK, ext):
+            return jnp.eye(4).at[:3, :].set(newK @ ext[:3, :])
+        P1 = jax.vmap(full_proj)(newK1, ext1)
+        P2 = jax.vmap(full_proj)(newK2, ext2)
+        depth_values = depth_hypotheses(B)
+
+        pred = self._forward(params, batch_stats,
+                             c1.astype(self.model.dtype), choose1,
+                             c2.astype(self.model.dtype), choose2,
+                             P1, P2, depth_values)
+
+        nocs1 = pred["view1_nocs"].astype(jnp.float32)
+        nocs2 = pred["view2_nocs"].astype(jnp.float32)
+        depth1 = pred["view1_depth"].astype(jnp.float32)
+        R_pred = pred.get("view1_r",
+                          jnp.broadcast_to(jnp.eye(3), (B, 3, 3))).astype(jnp.float32)
+
+        keys = jax.random.split(k3, B)
+        bbox_cam, ok = jax.vmap(self._solve_one)(
+            nocs1, depth1, choose1, newK1, R_pred, pts2d1, nocs2, pts2d2,
+            K, ext1, ext2, keys)
+
+        # camera -> world (reference interface_v5.py:365-374)
+        def to_world(bb, ext):
+            ex_inv = jnp.linalg.inv(ext)
+            return (ex_inv[:3, :3] @ bb + ex_inv[:3, 3:4]).T
+        bbox_world = jax.vmap(to_world)(bbox_cam, ext1)
+        valid = ok1 & ok2 & ok & jnp.isfinite(bbox_world).reshape(B, -1).all(-1)
+        default = jnp.asarray(DEFAULT_BBOX)
+        return jnp.where(valid[:, None, None], bbox_world, default), valid
+
+    # ------------------------------------------------------------------
+    def estimate(self, camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2, ext2):
+        """Batched estimate -> (B, 8, 3) world bboxes (numpy)."""
+        self.key, k = jax.random.split(self.key)
+        bbox, _ = self._estimate_fn(
+            self.params, self.batch_stats,
+            jnp.asarray(camera_intrinsic, jnp.float32),
+            jnp.asarray(rgb1, jnp.float32), jnp.asarray(mask1),
+            jnp.asarray(ext1, jnp.float32),
+            jnp.asarray(rgb2, jnp.float32), jnp.asarray(mask2),
+            jnp.asarray(ext2, jnp.float32), k)
+        return np.asarray(bbox)

@@ -1,0 +1,326 @@
+"""StereoPoseNet family in flax (reference AdaPose/lib/network_v5.py).
+
+``StereoPoseNetWithDepth`` is the production v5 architecture: per-view PSPNet
+features, plane-sweep homography warping over 24 depth hypotheses, cost-volume
+regularization with a 3-D U-Net (CostRegNet), per-point NOCS head, softmax
+depth regression at the chosen points, and (direct-regression mode)
+depth-probability-weighted pose features feeding 6-D rotation / translation /
+size heads. ``StereoPoseNet`` (v1, volume_conv fusion) and the no-fusion
+baseline are included for the ablation configs.
+
+TPU notes: all tensors NHWC / NDHWC; the homography warp is a batched gather
+(bilinear, zero padding) instead of grid_sample; the cost volume stays in the
+compute dtype (bf16-capable).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pspnet import PSPNet
+
+
+def ortho6d_to_mat(x_raw, y_raw):
+    """6-D rotation representation -> rotation matrix (reference
+    lib/rotation_utils.py:18-28). Inputs (..., 3) each; returns (..., 3, 3)
+    with rows x, y, z (matching the torch cat of row vectors)."""
+    x = x_raw / (jnp.linalg.norm(x_raw, axis=-1, keepdims=True) + 1e-8)
+    z = jnp.cross(x, y_raw)
+    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=-2)
+
+
+def homo_warp(src_feat, src_proj, ref_proj, depth_values):
+    """Warp src view features into the ref view over depth hypotheses
+    (reference network_v5.py:378-416).
+
+    src_feat: (H, W, C); src_proj/ref_proj: (4, 4) full projection (K@E);
+    depth_values: (D,). Returns (D, H, W, C), zero outside the source image.
+    """
+    H, W, C = src_feat.shape
+    D = depth_values.shape[0]
+    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    rot = proj[:3, :3]
+    trans = proj[:3, 3]
+
+    y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    xyz = jnp.stack([x.reshape(-1), y.reshape(-1),
+                     jnp.ones(H * W, jnp.float32)])          # (3, HW)
+    rot_xyz = rot @ xyz                                       # (3, HW)
+    # (3, D, HW)
+    proj_xyz = rot_xyz[:, None, :] * depth_values[None, :, None] \
+        + trans[:, None, None]
+    px = proj_xyz[0] / (proj_xyz[2] + 1e-9)
+    py = proj_xyz[1] / (proj_xyz[2] + 1e-9)
+
+    inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1) \
+        & (proj_xyz[2] > 1e-6)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+
+    flat = src_feat.reshape(H * W, C)
+    def g(yy, xx):
+        return flat[(yy * W + xx).reshape(-1)].reshape(D, H * W, C)
+    v00, v01, v10, v11 = g(y0, x0), g(y0, x1), g(y1, x0), g(y1, x1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    out = out * inside[..., None]
+    return out.reshape(D, H, W, C).astype(src_feat.dtype)
+
+
+class ConvBnRelu3d(nn.Module):
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_ch, (self.kernel,) * 3, strides=self.stride,
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class DeconvBnRelu3d(nn.Module):
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.out_ch, (3, 3, 3), strides=(2, 2, 2),
+                             padding="SAME", use_bias=False, dtype=self.dtype,
+                             name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class CostRegNet(nn.Module):
+    """3-D U-Net over the fused volume (reference network_v5.py:260-291)."""
+    base: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base
+        c0 = ConvBnRelu3d(b, dtype=self.dtype, name="conv0")(x, train)
+        c2 = ConvBnRelu3d(b * 2, dtype=self.dtype, name="conv2")(
+            ConvBnRelu3d(b * 2, stride=2, dtype=self.dtype, name="conv1")(c0, train), train)
+        c4 = ConvBnRelu3d(b * 4, dtype=self.dtype, name="conv4")(
+            ConvBnRelu3d(b * 4, stride=2, dtype=self.dtype, name="conv3")(c2, train), train)
+        x = ConvBnRelu3d(b * 8, dtype=self.dtype, name="conv6")(
+            ConvBnRelu3d(b * 8, stride=2, dtype=self.dtype, name="conv5")(c4, train), train)
+        x = c4 + DeconvBnRelu3d(b * 4, dtype=self.dtype, name="conv7")(x, train)
+        x = c2 + DeconvBnRelu3d(b * 2, dtype=self.dtype, name="conv9")(x, train)
+        x = c0 + DeconvBnRelu3d(b, dtype=self.dtype, name="conv11")(x, train)
+        return nn.Conv(1, (3, 3, 3), padding=1, use_bias=False,
+                       dtype=self.dtype, name="prob")(x)
+
+
+class MLP1D(nn.Module):
+    """Per-point MLP (torch Conv1d k=1 stack) as Dense layers on (..., N, C).
+    One instance can be applied to several inputs (shared weights across the
+    two views, as in the reference)."""
+    widths: Tuple[int, ...]
+    final: str = "none"  # none | relu | tanh
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, w in enumerate(self.widths[:-1]):
+            x = nn.relu(nn.Dense(w, dtype=self.dtype, name=f"dense_{i}")(x))
+        x = nn.Dense(self.widths[-1], dtype=self.dtype,
+                     name=f"dense_{len(self.widths) - 1}")(x)
+        if self.final == "relu":
+            x = nn.relu(x)
+        elif self.final == "tanh":
+            x = jnp.tanh(x)
+        return x
+
+
+class PoseHeads(nn.Module):
+    """Rotation / translation / size heads (reference network_v5.py:341-376)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose_feat):
+        # pose_feat: (B, N, C_in)
+        x = MLP1D((128, 128), final="relu", dtype=self.dtype, name="pose_mlp1")(pose_feat)
+        g = x.mean(axis=-2, keepdims=True)
+        x = jnp.concatenate([x, jnp.broadcast_to(g, x.shape)], axis=-1)
+        x = MLP1D((256, 256), final="relu", dtype=self.dtype, name="pose_mlp2")(x)
+        x = x.mean(axis=-2)  # AdaptiveAvgPool1d(1)
+
+        def head(name):
+            h = nn.relu(nn.Dense(256, dtype=self.dtype, name=f"{name}_0")(x))
+            h = nn.relu(nn.Dense(128, dtype=self.dtype, name=f"{name}_1")(h))
+            return h
+
+        r6 = nn.Dense(6, dtype=self.dtype, name="rotation_2")(head("rotation"))
+        R = ortho6d_to_mat(r6[..., :3], r6[..., 3:])
+        t = nn.Dense(3, dtype=self.dtype, name="translation_2")(head("translation"))
+        s = nn.Dense(3, dtype=self.dtype, name="size_2")(head("size"))
+        return R, t, s
+
+
+class StereoPoseNetWithDepth(nn.Module):
+    """v5 production network (reference network_v5.py:301-519)."""
+    backend: str = "resnet34"
+    regress_pose: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v1_img, v1_choose, v2_img, v2_choose, v1_proj, v2_proj,
+                 depth_values, train: bool = False):
+        B, S = v1_img.shape[0], v1_img.shape[1]
+        D = depth_values.shape[1]
+
+        psp = PSPNet(backend=self.backend, dtype=self.dtype, name="img_extractor")
+        f1 = psp(v1_img, train)   # (B, S, S, 32)
+        f2 = psp(v2_img, train)
+
+        w2 = jax.vmap(homo_warp)(f2, v2_proj, v1_proj, depth_values)  # (B,D,S,S,32)
+        w1 = jax.vmap(homo_warp)(f1, v1_proj, v2_proj, depth_values)
+        fused1 = f1[:, None] + w2
+        fused2 = f2[:, None] + w1
+
+        # per-point NOCS features at the chosen pixels
+        def gather_pts(feat, choose):
+            flat = feat.reshape(B, S * S, feat.shape[-1])
+            return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32),
+                                       axis=1)
+
+        instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
+                               name="instance_color")
+        nocs_head = MLP1D((128, 64, 3), final="tanh", dtype=self.dtype,
+                          name="nocs_head")
+        n1 = instance_color(gather_pts(f1, v1_choose))
+        n2 = instance_color(gather_pts(f2, v2_choose))
+        nocs1 = nocs_head(n1)     # (B, N, 3)
+        nocs2 = nocs_head(n2)
+
+        # cost regularization + per-point depth distribution
+        reg = CostRegNet(base=8, dtype=self.dtype, name="cost_regularization")
+        cost1 = reg(fused1, train)[..., 0]   # (B, D, S, S)
+        cost2 = reg(fused2, train)[..., 0]
+
+        def point_depth(cost, choose):
+            flat = cost.reshape(B, D, S * S)
+            pts = jnp.take_along_axis(
+                flat, choose[:, None, :].astype(jnp.int32), axis=2)  # (B, D, N)
+            prob = jax.nn.softmax(pts.astype(jnp.float32), axis=1)
+            depth = (prob * depth_values[:, :, None]).sum(1)         # (B, N)
+            return prob, depth
+
+        prob1, depth1 = point_depth(cost1, v1_choose)
+        prob2, depth2 = point_depth(cost2, v2_choose)
+
+        out = {"view1_nocs": nocs1, "view2_nocs": nocs2,
+               "view1_depth": depth1, "view2_depth": depth2}
+
+        if self.regress_pose:
+            heads = PoseHeads(dtype=self.dtype, name="heads")
+            nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
+                                 name="nocs_pts_mlp")
+
+            def pose_branch(fused, choose, prob, nocs):
+                # depth-probability-weighted volume features at chosen points
+                C = fused.shape[-1]
+                flat = fused.reshape(B, D, S * S, C)
+                pts = jnp.take_along_axis(
+                    flat, choose[:, None, :, None].astype(jnp.int32), axis=2)
+                feat = (pts * prob[..., None]).sum(1)     # (B, N, C)
+                nocs_feat = nocs_pts_mlp(nocs)
+                return jnp.concatenate([feat, nocs_feat], axis=-1)
+
+            R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
+            R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
+            out.update({"view1_r": R1, "view1_t": t1, "view1_s": s1,
+                        "view2_r": R2, "view2_t": t2, "view2_s": s2})
+        return out
+
+
+class StereoPoseNetV1(nn.Module):
+    """v1 architecture: volume_conv fusion + fuse_conv residual
+    (reference network_v5.py:36-215), kept for the ablation interfaces."""
+    backend: str = "resnet34"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v1_img, v1_choose, v2_img, v2_choose, v1_proj, v2_proj,
+                 depth_values, train: bool = False):
+        B, S = v1_img.shape[0], v1_img.shape[1]
+        D = depth_values.shape[1]
+        psp = PSPNet(backend=self.backend, dtype=self.dtype, name="img_extractor")
+        f1 = psp(v1_img, train)
+        f2 = psp(v2_img, train)
+        w2 = jax.vmap(homo_warp)(f2, v2_proj, v1_proj, depth_values)
+        w1 = jax.vmap(homo_warp)(f1, v1_proj, v2_proj, depth_values)
+        fused1 = f1[:, None] + w2
+        fused2 = f2[:, None] + w1
+
+        class VolumeConv(nn.Module):
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                for i, ch in enumerate((16, 8, 1)):
+                    x = nn.Conv(ch, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                                name=f"conv_{i}")(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     dtype=self.dtype, name=f"bn_{i}")(x)
+                    x = nn.relu(x)
+                return x[..., 0]  # (B, D, S, S)
+
+        volume_conv = VolumeConv(dtype=self.dtype, name="volume_conv")
+        fuse_conv = MLP1D((32, 32), dtype=self.dtype, name="fuse_conv")
+
+        g1 = jnp.moveaxis(volume_conv(fused1), 1, -1)  # (B, S, S, D)
+        g2 = jnp.moveaxis(volume_conv(fused2), 1, -1)
+        f1 = nn.relu(f1 + fuse_conv(g1))
+        f2 = nn.relu(f2 + fuse_conv(g2))
+
+        def gather_pts(feat, choose):
+            flat = feat.reshape(B, S * S, feat.shape[-1])
+            return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
+
+        instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
+                               name="instance_color")
+        nocs_head = MLP1D((128, 64, 3), final="tanh", dtype=self.dtype,
+                          name="nocs_head")
+        n1 = instance_color(gather_pts(f1, v1_choose))
+        n2 = instance_color(gather_pts(f2, v2_choose))
+        nocs1, nocs2 = nocs_head(n1), nocs_head(n2)
+
+        heads = PoseHeads(dtype=self.dtype, name="heads")
+        nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
+                             name="nocs_pts_mlp")
+
+        def branch(feat, nocs):
+            return jnp.concatenate([feat, nocs_pts_mlp(nocs)], axis=-1)
+
+        R1, t1, s1 = heads(branch(n1, nocs1))
+        R2, t2, s2 = heads(branch(n2, nocs2))
+        return {"view1_nocs": nocs1, "view2_nocs": nocs2,
+                "view1_r": R1, "view1_t": t1, "view1_s": s1,
+                "view2_r": R2, "view2_t": t2, "view2_s": s2}

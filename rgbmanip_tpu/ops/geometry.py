@@ -1,0 +1,238 @@
+"""Batched pose-recovery geometry on TPU (JAX).
+
+Replaces the reference's per-sample numpy/OpenCV solvers
+(``AdaPose/lib/align.py`` Umeyama+RANSAC, ``lib/utils.py`` NOCS-match
+triangulation / scale recovery, cv2 PnP) with fixed-iteration, fully
+vectorized versions: every function is jit/vmap-friendly (static shapes,
+masked reductions, no data-dependent control flow), so the whole estimator
+postprocessing runs on-device across the env batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def umeyama(source, target, weights=None):
+    """Weighted similarity transform source -> target (Umeyama).
+
+    source, target: (N, 3); weights: (N,) nonnegative.
+    Returns (scale, R (3,3), t (3,)) with target ~= scale * R @ source + t.
+    Matches ``align.py:11-43`` (scale = sum(D)/var(source)).
+    """
+    N = source.shape[0]
+    if weights is None:
+        weights = jnp.ones(N, source.dtype)
+    w = weights / (weights.sum() + 1e-9)
+    mu_s = (w[:, None] * source).sum(0)
+    mu_t = (w[:, None] * target).sum(0)
+    cs = source - mu_s
+    ct = target - mu_t
+    cov = (ct * w[:, None]).T @ cs
+    U, D, Vh = jnp.linalg.svd(cov, full_matrices=True)
+    sign = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vh))
+    S = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * sign
+    R = (U * S[None, :]) @ Vh
+    var_s = (w[:, None] * cs ** 2).sum()
+    scale = (D * S).sum() / (var_s + 1e-12)
+    t = mu_t - scale * (R @ mu_s)
+    return scale, R, t
+
+
+def ransac_umeyama(source, target, key, n_hypotheses: int = 128,
+                   min_inlier_ratio: float = 0.1):
+    """Vectorized RANSAC similarity estimation (reference align.py:44-102).
+
+    All hypotheses evaluated in parallel (vmap) instead of a sequential loop
+    with early exit; inlier threshold = hypothesis_scale * source_diameter/10.
+    Returns (scale, R, t, valid).
+    """
+    N = source.shape[0]
+    diameter = 2.0 * jnp.linalg.norm(source - source.mean(0), axis=-1).max()
+    inlier_t = diameter / 10.0
+
+    idx = jax.random.randint(key, (n_hypotheses, 5), 0, N)
+
+    def hyp(ind):
+        s, R, t = umeyama(source[ind], target[ind])
+        resid = jnp.linalg.norm(target - (s * (source @ R.T) + t), axis=-1)
+        inliers = resid < s * inlier_t
+        return inliers.sum(), inliers
+
+    counts, inlier_masks = jax.vmap(hyp)(idx)
+    best = jnp.argmax(counts)
+    best_inliers = inlier_masks[best]
+    ratio = counts[best] / N
+    # refit on inliers (weighted)
+    scale, R, t = umeyama(source, target, best_inliers.astype(source.dtype))
+    valid = ratio >= min_inlier_ratio
+    return scale, R, t, valid
+
+
+def masked_median(values, mask):
+    """Median of values[mask] with static shapes: sort with invalid entries
+    pushed to +inf, then index the middle of the valid prefix."""
+    big = jnp.where(mask, values, jnp.inf)
+    s = jnp.sort(big)
+    n = mask.sum()
+    mid_hi = jnp.clip(n // 2, 0, values.shape[0] - 1)
+    mid_lo = jnp.clip((n - 1) // 2, 0, values.shape[0] - 1)
+    return 0.5 * (s[mid_lo] + s[mid_hi])
+
+
+def compute_scale(cam_pts, nocs_pts, max_pairs_dim: int = 256,
+                  real_dis_cap: float = 0.3):
+    """Median ratio of pairwise distances (reference lib/utils.py:76-97).
+
+    cam_pts, nocs_pts: (N, 3). Subsamples to ``max_pairs_dim`` points (strided)
+    to bound the pairwise matrix; reference uses all pairs of 1024.
+    """
+    N = cam_pts.shape[0]
+    step = max(1, N // max_pairs_dim)
+    c = cam_pts[::step]
+    n = nocs_pts[::step]
+    real = jnp.linalg.norm(c[:, None, :] - c[None, :, :], axis=-1).reshape(-1)
+    nocs = jnp.linalg.norm(n[:, None, :] - n[None, :, :], axis=-1).reshape(-1)
+    valid = (nocs > 0.01) & (real < real_dis_cap)
+    ratio = real / jnp.where(nocs > 1e-9, nocs, 1.0)
+    return masked_median(ratio, valid)
+
+
+def backproject(depth, pts2d, K):
+    """Back-project pixel coords (N,2) with per-point depth (N,) through K."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    x = (pts2d[:, 0] - cx) * depth / fx
+    y = (pts2d[:, 1] - cy) * depth / fy
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def compute_scale_and_translation(pred_depth, pred_nocs, pts2d, K, rotation):
+    """Scale from pairwise-distance medians + translation from centroids under
+    the regressed rotation (reference lib/utils.py:98-119)."""
+    cam_pts = backproject(pred_depth, pts2d, K)
+    scale = compute_scale(cam_pts, pred_nocs)
+    rotated = scale * (pred_nocs @ rotation.T)
+    translation = cam_pts.mean(0) - rotated.mean(0)
+    return translation, scale
+
+
+def triangulate_dlt(p1, P1, p2, P2):
+    """Two-view DLT triangulation. p1, p2: (N, 2) pixels; P1, P2: (3, 4) or
+    (4, 4) projection matrices. Returns (N, 3) world points."""
+    P1 = P1[:3]
+    P2 = P2[:3]
+
+    def tri(a, b):
+        A = jnp.stack([
+            a[0] * P1[2] - P1[0],
+            a[1] * P1[2] - P1[1],
+            b[0] * P2[2] - P2[0],
+            b[1] * P2[2] - P2[1],
+        ])
+        _, _, Vh = jnp.linalg.svd(A)
+        X = Vh[-1]
+        return X[:3] / (X[3] + 1e-12)
+
+    return jax.vmap(tri)(p1, p2)
+
+
+def depth_from_nocs_matches(pts2d_1, nocs_1, P1, ext1, pts2d_2, nocs_2, P2,
+                            ext2, K, epipolar_t: float = 5.0):
+    """NOCS-space mutual nearest-neighbor matching across two views, epipolar
+    filtering, DLT triangulation, and median-scale recovery (reference
+    lib/utils.py:121-195). Fully vectorized; returns (scale, valid)."""
+    # mutual NN in NOCS space
+    dis = jnp.linalg.norm(nocs_1[:, None, :] - nocs_2[None, :, :], axis=-1)
+    m12 = jnp.argmin(dis, axis=1)           # (N,)
+    m21 = jnp.argmin(dis, axis=0)
+    mutual = m21[m12] == jnp.arange(nocs_1.shape[0])
+
+    matched_2d_2 = pts2d_2[m12]
+    # epipolar consistency: fundamental matrix from the two projections
+    # F = [e2]_x P2 P1^+; use relative pose from extrinsics instead
+    T21 = ext2 @ jnp.linalg.inv(ext1)
+    R = T21[:3, :3]
+    t = T21[:3, 3]
+    tx = jnp.array([[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]])
+    Kinv = jnp.linalg.inv(K)
+    F = Kinv.T @ tx @ R @ Kinv
+    ones = jnp.ones((pts2d_1.shape[0], 1))
+    x1h = jnp.concatenate([pts2d_1, ones], -1)
+    x2h = jnp.concatenate([matched_2d_2, ones], -1)
+    lines = x1h @ F.T                       # epipolar lines in view 2
+    num = jnp.abs((lines * x2h).sum(-1))
+    den = jnp.linalg.norm(lines[:, :2], axis=-1) + 1e-9
+    epi_dist = num / den
+    good = mutual & (epi_dist < epipolar_t)
+
+    world = triangulate_dlt(pts2d_1, P1, matched_2d_2, P2)
+    # per-pair scale: distance ratios between triangulated pts and nocs
+    step = max(1, world.shape[0] // 128)
+    w = world[::step]
+    n1 = nocs_1[::step]
+    g = good[::step]
+    rd = jnp.linalg.norm(w[:, None] - w[None, :], axis=-1).reshape(-1)
+    nd = jnp.linalg.norm(n1[:, None] - n1[None, :], axis=-1).reshape(-1)
+    pair_ok = (g[:, None] & g[None, :]).reshape(-1) & (nd > 0.01) & (rd < 2.0)
+    ratio = rd / jnp.where(nd > 1e-9, nd, 1.0)
+    scale = masked_median(ratio, pair_ok)
+    return scale, good.sum() >= 8
+
+
+def pnp_dlt(obj_pts, img_pts, K, weights=None):
+    """Direct-linear-transform PnP with orthonormalization (cv2 EPnP+VVS
+    replacement for the triangulation solve path, reference align.py:104-115).
+
+    obj_pts: (N, 3) scaled model points; img_pts: (N, 2). Returns (R, t).
+    """
+    N = obj_pts.shape[0]
+    if weights is None:
+        weights = jnp.ones(N, obj_pts.dtype)
+    w = jnp.sqrt(weights / (weights.sum() + 1e-9))[:, None]
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((N, 1))
+    norm = (jnp.concatenate([img_pts, ones], -1) @ Kinv.T)  # normalized rays
+    u, v = norm[:, 0], norm[:, 1]
+    X = obj_pts
+    zeros = jnp.zeros((N, 4))
+    Xh = jnp.concatenate([X, ones], -1)
+    rows_u = jnp.concatenate([Xh, zeros, -u[:, None] * Xh], -1) * w
+    rows_v = jnp.concatenate([zeros, Xh, -v[:, None] * Xh], -1) * w
+    A = jnp.concatenate([rows_u, rows_v], 0)   # (2N, 12)
+    _, _, Vh = jnp.linalg.svd(A, full_matrices=False)
+    P = Vh[-1].reshape(3, 4)
+    # fix sign: points must be in front of the camera
+    depth_sign = jnp.sign((Xh @ P[2]).mean())
+    P = P * depth_sign
+    M = P[:, :3]
+    # orthonormalize via SVD, extract scale
+    U, D, Vh2 = jnp.linalg.svd(M)
+    sign = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vh2))
+    S = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * sign
+    R = (U * S[None, :]) @ Vh2
+    s = (D * S).mean()
+    t = P[:, 3] / (s + 1e-12)
+    return R, t
+
+
+def get_3d_bbox(size):
+    """8-corner bbox (3, 8) for extents ``size`` (reference lib/utils.py:40-58
+    corner ordering)."""
+    sx, sy, sz = size[0] / 2, size[1] / 2, size[2] / 2
+    corners = jnp.array([
+        [1, 1, 1], [1, 1, -1], [-1, 1, 1], [-1, 1, -1],
+        [1, -1, 1], [1, -1, -1], [-1, -1, 1], [-1, -1, -1],
+    ], dtype=jnp.float32)
+    return (corners * jnp.stack([sx, sy, sz])).T
+
+
+def transform_coordinates_3d(coords, sRT):
+    """(3, N) points through a 4x4 transform (reference lib/utils.py:60-75)."""
+    ones = jnp.ones((1, coords.shape[1]), coords.dtype)
+    h = jnp.concatenate([coords, ones], 0)
+    out = sRT @ h
+    return out[:3] / out[3:4]
