@@ -93,7 +93,7 @@ def _prepare_one(rgb, mask, K, key, out_size: int, n_pts: int):
 
     # random selection of n_pts masked pixels with wrap-padding
     flat = m_resized.reshape(-1)
-    count = flat.sum()
+    count = flat.sum().astype(jnp.int32)
     prio = jax.random.uniform(key, flat.shape) + (1.0 - flat) * 1e6
     order = jnp.argsort(prio)
     take = order[jnp.arange(n_pts) % jnp.maximum(count, 1)]
