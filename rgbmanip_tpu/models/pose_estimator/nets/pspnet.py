@@ -79,7 +79,7 @@ def adaptive_avg_pool(x, out_size: int):
 
     def edges(n, s):
         lo = [int(i * n // s) for i in range(s)]
-        hi = [int(-(-(i + 1) * n) // s) for i in range(s)]
+        hi = [int(-((-(i + 1) * n) // s)) for i in range(s)]  # ceil((i+1)n/s)
         return lo, hi
 
     ylo, yhi = edges(H, out_size)
