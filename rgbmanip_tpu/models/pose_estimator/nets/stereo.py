@@ -35,52 +35,63 @@ def ortho6d_to_mat(x_raw, y_raw):
     return jnp.stack([x, y, z], axis=-2)
 
 
-def homo_warp(src_feat, src_proj, ref_proj, depth_values):
+def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values):
     """Warp src view features into the ref view over depth hypotheses
-    (reference network_v5.py:378-416).
+    (reference network_v5.py:378-416), batched.
 
-    src_feat: (H, W, C); src_proj/ref_proj: (4, 4) full projection (K@E);
-    depth_values: (D,). Returns (D, H, W, C), zero outside the source image.
+    src_feat: (B, H, W, C); src_proj/ref_proj: (B, 4, 4) full projections
+    (K@E); depth_values: (B, D). Returns (B, D, H, W, C), zero outside the
+    source image.
+
+    TPU note: the bilinear taps run as ONE flat gather over (B*H*W) rows with
+    per-batch index offsets — a vmapped per-sample gather lowers to a slow
+    batched-gather loop (measured 140 ms vs <1 ms for the flat form).
     """
-    H, W, C = src_feat.shape
-    D = depth_values.shape[0]
-    proj = src_proj @ jnp.linalg.inv(ref_proj)
-    rot = proj[:3, :3]
-    trans = proj[:3, 3]
+    B, H, W, C = src_feat.shape
+    D = depth_values.shape[1]
+    proj = src_proj @ jnp.linalg.inv(ref_proj)               # (B, 4, 4)
+    rot = proj[:, :3, :3]
+    trans = proj[:, :3, 3]
 
     y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                         jnp.arange(W, dtype=jnp.float32), indexing="ij")
     xyz = jnp.stack([x.reshape(-1), y.reshape(-1),
                      jnp.ones(H * W, jnp.float32)])          # (3, HW)
-    rot_xyz = rot @ xyz                                       # (3, HW)
-    # (3, D, HW)
-    proj_xyz = rot_xyz[:, None, :] * depth_values[None, :, None] \
-        + trans[:, None, None]
-    px = proj_xyz[0] / (proj_xyz[2] + 1e-9)
-    py = proj_xyz[1] / (proj_xyz[2] + 1e-9)
+    rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz)            # (B, 3, HW)
+    proj_xyz = rot_xyz[:, :, None, :] * depth_values[:, None, :, None] \
+        + trans[:, :, None, None]                            # (B, 3, D, HW)
+    pz = proj_xyz[:, 2]
+    px = proj_xyz[:, 0] / (pz + 1e-9)
+    py = proj_xyz[:, 1] / (pz + 1e-9)
 
-    inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1) \
-        & (proj_xyz[2] > 1e-6)
+    inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1) & (pz > 1e-6)
 
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    wx = px - x0
-    wy = py - y0
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    wx = (px - x0f)[..., None]
+    wy = (py - y0f)[..., None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
 
-    flat = src_feat.reshape(H * W, C)
+    flat = src_feat.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+
     def g(yy, xx):
-        return flat[(yy * W + xx).reshape(-1)].reshape(D, H * W, C)
-    v00, v01, v10, v11 = g(y0, x0), g(y0, x1), g(y1, x0), g(y1, x1)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-           + v10 * wy * (1 - wx) + v11 * wy * wx)
+        idx = (base + yy * W + xx).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(B, D, H * W, C)
+
+    out = (g(y0, x0) * (1 - wy) * (1 - wx) + g(y0, x1) * (1 - wy) * wx
+           + g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
     out = out * inside[..., None]
-    return out.reshape(D, H, W, C).astype(src_feat.dtype)
+    return out.reshape(B, D, H, W, C).astype(src_feat.dtype)
+
+
+def homo_warp(src_feat, src_proj, ref_proj, depth_values):
+    """Single-sample convenience wrapper around :func:`homo_warp_batched`."""
+    return homo_warp_batched(src_feat[None], src_proj[None], ref_proj[None],
+                             depth_values[None])[0]
 
 
 class ConvBnRelu3d(nn.Module):
@@ -199,16 +210,16 @@ class StereoPoseNetWithDepth(nn.Module):
         f1 = psp(v1_img, train)   # (B, S, S, 32)
         f2 = psp(v2_img, train)
 
-        w2 = jax.vmap(homo_warp)(f2, v2_proj, v1_proj, depth_values)  # (B,D,S,S,32)
-        w1 = jax.vmap(homo_warp)(f1, v1_proj, v2_proj, depth_values)
+        w2 = homo_warp_batched(f2, v2_proj, v1_proj, depth_values)  # (B,D,S,S,32)
+        w1 = homo_warp_batched(f1, v1_proj, v2_proj, depth_values)
         fused1 = f1[:, None] + w2
         fused2 = f2[:, None] + w1
 
         # per-point NOCS features at the chosen pixels
+        from ....ops.gather import flat_gather
+
         def gather_pts(feat, choose):
-            flat = feat.reshape(B, S * S, feat.shape[-1])
-            return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32),
-                                       axis=1)
+            return flat_gather(feat.reshape(B, S * S, feat.shape[-1]), choose)
 
         instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
                                name="instance_color")
@@ -225,11 +236,11 @@ class StereoPoseNetWithDepth(nn.Module):
         cost2 = reg(fused2, train)[..., 0]
 
         def point_depth(cost, choose):
-            flat = cost.reshape(B, D, S * S)
-            pts = jnp.take_along_axis(
-                flat, choose[:, None, :].astype(jnp.int32), axis=2)  # (B, D, N)
-            prob = jax.nn.softmax(pts.astype(jnp.float32), axis=1)
-            depth = (prob * depth_values[:, :, None]).sum(1)         # (B, N)
+            # (B, HW, D) so the point gather is over one flat row axis
+            flat = jnp.moveaxis(cost.reshape(B, D, S * S), 1, -1)
+            pts = flat_gather(flat, choose)                           # (B, N, D)
+            prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
+            depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
             return prob, depth
 
         prob1, depth1 = point_depth(cost1, v1_choose)
@@ -246,10 +257,9 @@ class StereoPoseNetWithDepth(nn.Module):
             def pose_branch(fused, choose, prob, nocs):
                 # depth-probability-weighted volume features at chosen points
                 C = fused.shape[-1]
-                flat = fused.reshape(B, D, S * S, C)
-                pts = jnp.take_along_axis(
-                    flat, choose[:, None, :, None].astype(jnp.int32), axis=2)
-                feat = (pts * prob[..., None]).sum(1)     # (B, N, C)
+                flat = jnp.moveaxis(fused.reshape(B, D, S * S, C), 1, 2)
+                pts = flat_gather(flat, choose)           # (B, N, D, C)
+                feat = (pts * prob[..., None]).sum(2)     # (B, N, C)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat], axis=-1)
 
@@ -274,8 +284,8 @@ class StereoPoseNetV1(nn.Module):
         psp = PSPNet(backend=self.backend, dtype=self.dtype, name="img_extractor")
         f1 = psp(v1_img, train)
         f2 = psp(v2_img, train)
-        w2 = jax.vmap(homo_warp)(f2, v2_proj, v1_proj, depth_values)
-        w1 = jax.vmap(homo_warp)(f1, v1_proj, v2_proj, depth_values)
+        w2 = homo_warp_batched(f2, v2_proj, v1_proj, depth_values)
+        w1 = homo_warp_batched(f1, v1_proj, v2_proj, depth_values)
         fused1 = f1[:, None] + w2
         fused2 = f2[:, None] + w1
 
@@ -300,9 +310,10 @@ class StereoPoseNetV1(nn.Module):
         f1 = nn.relu(f1 + fuse_conv(g1))
         f2 = nn.relu(f2 + fuse_conv(g2))
 
+        from ....ops.gather import flat_gather
+
         def gather_pts(feat, choose):
-            flat = feat.reshape(B, S * S, feat.shape[-1])
-            return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
+            return flat_gather(feat.reshape(B, S * S, feat.shape[-1]), choose)
 
         instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
                                name="instance_color")
