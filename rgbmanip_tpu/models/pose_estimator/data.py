@@ -1,0 +1,143 @@
+"""Estimator training data straight from the simulator.
+
+The reference trains AdaPose on offline data dumped by ``train=collect``
+(pickles of views + gt). Because our renderer also produces world-position
+maps and the gt part pose is known analytically, supervision is exact and can
+be generated on the fly: for each sampled view pair we compute per-point
+
+  - gt NOCS:  part-local coordinates normalized by the part-bbox diagonal
+  - gt depth: distance along the camera forward axis (renderer Depth)
+  - gt pose:  rotation/translation of the NOCS frame in camera-cv coordinates
+              and the NOCS extents (for the direct-regression heads)
+
+matching the solve conventions in ``adapose.py`` (size = 2*max|nocs|*scale,
+scale = bbox diagonal; reference interface_v5.py:354-374).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.preprocess import depth_hypotheses, prepare_model_input
+from ...utils.transform import Pose, lookat_quat, quat_to_matrix
+
+_CV_FROM_CAM = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
+class SimViewSampler:
+    """Samples labelled view pairs from a running VecManipulationEnv."""
+
+    def __init__(self, env, img_size: int = 224, n_pts: int = 1024, seed: int = 0,
+                 pose_min=(-0.3, -0.3, 0.4), pose_max=(0.3, 0.3, 1.0)):
+        self.env = env
+        self.img_size = img_size
+        self.n_pts = n_pts
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.pose_min = np.asarray(pose_min)
+        self.pose_max = np.asarray(pose_max)
+
+    def _random_views(self):
+        """Teleport the wrist camera toward the handle; return render dict."""
+        n = self.env.num_envs
+        gt = self.env.handle_bbox()
+        target = (gt[:, 0] + gt[:, 6]) / 2
+        robot_root = self.env.robot_pose()[:, :3]
+        pos = self.rng.uniform(self.pose_min, self.pose_max, size=(n, 3))
+        look = (target - robot_root) - pos
+        q = lookat_quat(look)
+        self.env.cam_move_to(np.concatenate([pos, q], -1), time=2, wait=0.5,
+                             planner="path", robot_frame=True, skip_move=True,
+                             no_collision_with_front=False)
+        img = self.env.get_image()["camera0"]
+        return img
+
+    def _part_frames(self):
+        """Per-env (part pose, local center, local extents, diagonal)."""
+        out = []
+        for e in range(self.env.num_envs):
+            mn, mx = self.env.pool.part_aabb(e, self.env.obj_art[e],
+                                             self.env.part_link[e], 129)
+            link7 = self.env.pool.link_pose(e, self.env.obj_art[e],
+                                            self.env.part_link[e])
+            center = (mn + mx) / 2
+            ext = mx - mn
+            out.append((Pose(link7[:3], link7[3:]), center, ext,
+                        float(np.linalg.norm(ext)) + 1e-9))
+        return out
+
+    def _labels_for_view(self, img, pts2d):
+        """Per-point NOCS/depth labels + per-env pose labels for one view."""
+        n, N = pts2d.shape[:2]
+        H, W = img["Depth"].shape[1:3]
+        px = np.clip(np.round(pts2d[..., 0]).astype(int), 0, W - 1)
+        py = np.clip(np.round(pts2d[..., 1]).astype(int), 0, H - 1)
+        frames = self._part_frames()
+        nocs = np.zeros((n, N, 3), np.float32)
+        depth = np.zeros((n, N), np.float32)
+        R_lab = np.zeros((n, 3, 3), np.float32)
+        t_lab = np.zeros((n, 3), np.float32)
+        s_lab = np.zeros((n, 3), np.float32)
+        for e in range(n):
+            world = img["Position"][e][py[e], px[e]]          # (N, 3)
+            depth[e] = img["Depth"][e][py[e], px[e]]
+            part, center, ext, diag = frames[e]
+            local = part.inv().transform_points(world.astype(np.float64))
+            nocs[e] = ((local - center) / diag).astype(np.float32)
+            # camera-cv pose of the NOCS frame
+            E = img["Extrinsic"][e]
+            Rp = quat_to_matrix(part.q)
+            R_lab[e] = (E[:3, :3] @ Rp).astype(np.float32)
+            c_world = part.transform_points(center[None])[0]
+            t_lab[e] = (E[:3, :3] @ c_world + E[:3, 3]).astype(np.float32)
+            s_lab[e] = (ext / diag).astype(np.float32)
+        return nocs, depth, R_lab, t_lab, s_lab
+
+    def sample_batch(self) -> Optional[Dict]:
+        """One labelled training batch (resets the envs first)."""
+        self.env.reset()
+        img1 = self._random_views()
+        img2 = self._random_views()
+        if img1["Mask"].sum() == 0 or img2["Mask"].sum() == 0:
+            return None
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        K = jnp.asarray(img1["Intrinsic"])
+        c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
+            jnp.asarray(img1["Color"]), jnp.asarray(img1["Mask"]), K, k1,
+            self.img_size, self.n_pts)
+        c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
+            jnp.asarray(img2["Color"]), jnp.asarray(img2["Mask"]), K, k2,
+            self.img_size, self.n_pts)
+        ok = np.asarray(ok1 & ok2)
+        if not ok.any():
+            return None
+        pts2d1_np = np.asarray(pts2d1)
+        pts2d2_np = np.asarray(pts2d2)
+        nocs1, depth1, r1, t1, s1 = self._labels_for_view(img1, pts2d1_np)
+        nocs2, depth2, r2, t2, s2 = self._labels_for_view(img2, pts2d2_np)
+
+        def proj(newK, ext):
+            P = np.tile(np.eye(4, dtype=np.float32), (len(ext), 1, 1))
+            P[:, :3, :] = np.einsum("bij,bjk->bik", np.asarray(newK),
+                                    ext[:, :3, :].astype(np.float32))
+            return P
+
+        B = self.env.num_envs
+        batch = {
+            "img1": c1, "img2": c2,
+            "choose1": choose1, "choose2": choose2,
+            "P1": jnp.asarray(proj(newK1, img1["Extrinsic"])),
+            "P2": jnp.asarray(proj(newK2, img2["Extrinsic"])),
+            "depth_values": depth_hypotheses(B),
+            "nocs1": jnp.asarray(nocs1), "nocs2": jnp.asarray(nocs2),
+            "depth1": jnp.asarray(depth1), "depth2": jnp.asarray(depth2),
+            "r1": jnp.asarray(r1), "r2": jnp.asarray(r2),
+            "t1": jnp.asarray(t1), "t2": jnp.asarray(t2),
+            "s1": jnp.asarray(s1), "s2": jnp.asarray(s2),
+            "valid": jnp.asarray(ok),
+        }
+        return batch

@@ -1,0 +1,89 @@
+"""Train the AdaPose estimator on simulator-generated supervision.
+
+The reference trains its estimator offline in a separate torch environment
+(``AdaPose/AdaPose.yml``); this is the in-framework TPU equivalent: scenes are
+randomized per batch, views rendered by the C++ raycaster, exact labels
+derived analytically (see ``data.py``), and the jitted train step runs on
+device (optionally dp/tp-sharded).
+
+    python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
+        task=open_cabinet dataset=cabinet_train task.num_envs=8 \
+        [steps=2000] [img_size=224] [save=saves/estimator.ckpt]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import load_config
+from ...utils.logger import MetricsWriter, get_logger
+
+
+def train(overrides=None, steps: int = 2000, img_size: int = 224,
+          n_pts: int = 1024, lr: float = 1e-4, save_path: str = "saves/estimator.ckpt",
+          dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
+          env=None):
+    log = get_logger()
+    from ...train import prepare_env
+    from .adapose import AdaPoseEstimator
+    from .data import SimViewSampler
+    from .training import EstimatorTrainer
+
+    cfg = load_config(overrides or [])
+    if env is None:
+        env = prepare_env(cfg["task"], cfg["dataset"], log=log,
+                          seed=cfg.get("seed", 0))
+    est_cfg = {"name": "adapose_v5", "task_name": cfg["task"]["name"],
+               "load": False, "checkpoint_path": "", "img_size": img_size,
+               "use_depth": True, "n_pts": n_pts, "direct_regression": True,
+               "real_world": False}
+    est = AdaPoseEstimator(est_cfg, log, dtype=dtype)
+    trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
+    sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
+                             seed=cfg.get("seed", 0))
+    writer = MetricsWriter("logs/estimator")
+
+    t0 = time.time()
+    done = 0
+    while done < steps:
+        batch = sampler.sample_batch()
+        if batch is None:
+            continue
+        batch.pop("valid")
+        total, parts = trainer.step(batch)
+        done += 1
+        if done % log_every == 0:
+            rate = done / (time.time() - t0)
+            log.info(f"step {done}/{steps} loss {total:.4f} "
+                     + " ".join(f"{k}={v:.3f}" for k, v in parts.items())
+                     + f" ({rate:.2f} it/s)")
+            writer.add_scalar("estimator/loss", total, done)
+            writer.add_scalars(parts, done, prefix="estimator/")
+        if done % save_every == 0 or done == steps:
+            est.params = trainer.params
+            est.batch_stats = trainer.batch_stats
+            est.save(save_path)
+    writer.close()
+    return est
+
+
+def main():
+    argv = sys.argv[1:]
+    overrides = [a for a in argv if "=" in a and not a.split("=")[0] in
+                 ("steps", "img_size", "n_pts", "lr", "save", "log_every")]
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    train(overrides=[o for o in overrides if o.split("=")[0] not in
+                     ("steps", "img_size", "n_pts", "lr", "save")],
+          steps=int(kv.get("steps", 2000)),
+          img_size=int(kv.get("img_size", 224)),
+          n_pts=int(kv.get("n_pts", 1024)),
+          lr=float(kv.get("lr", 1e-4)),
+          save_path=kv.get("save", "saves/estimator.ckpt"))
+
+
+if __name__ == "__main__":
+    main()
