@@ -66,10 +66,15 @@ def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values):
 
     inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1) & (pz > 1e-6)
 
+    dt = src_feat.dtype
     x0f = jnp.floor(px)
     y0f = jnp.floor(py)
-    wx = (px - x0f)[..., None]
-    wy = (py - y0f)[..., None]
+    # keep tap weights in the feature dtype: f32 weights promote the four
+    # (B,D,HW,C) gathered tap tensors to f32 — 4x4.8 GB of intermediates at
+    # B=16 bf16, which spills HBM (measured 9.7 s forward / OOM)
+    wx = (px - x0f)[..., None].astype(dt)
+    wy = (py - y0f)[..., None].astype(dt)
+    one = jnp.ones((), dt)
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
     x1 = jnp.minimum(x0 + 1, W - 1)
@@ -82,10 +87,12 @@ def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values):
         idx = (base + yy * W + xx).reshape(-1)
         return jnp.take(flat, idx, axis=0).reshape(B, D, H * W, C)
 
-    out = (g(y0, x0) * (1 - wy) * (1 - wx) + g(y0, x1) * (1 - wy) * wx
-           + g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
-    out = out * inside[..., None]
-    return out.reshape(B, D, H, W, C).astype(src_feat.dtype)
+    out = g(y0, x0) * ((one - wy) * (one - wx))
+    out = out + g(y0, x1) * ((one - wy) * wx)
+    out = out + g(y1, x0) * (wy * (one - wx))
+    out = out + g(y1, x1) * (wy * wx)
+    out = out * inside[..., None].astype(dt)
+    return out.reshape(B, D, H, W, C)
 
 
 def homo_warp(src_feat, src_proj, ref_proj, depth_values):
@@ -235,10 +242,13 @@ class StereoPoseNetWithDepth(nn.Module):
         cost1 = reg(fused1, train)[..., 0]   # (B, D, S, S)
         cost2 = reg(fused2, train)[..., 0]
 
+        # per-point per-depth indices: d * S^2 + choose — gathers straight out
+        # of the (B, D*S*S, ...) layout without materializing a transpose
+        d_offs = (jnp.arange(D, dtype=jnp.int32) * (S * S))[None, None, :]
+
         def point_depth(cost, choose):
-            # (B, HW, D) so the point gather is over one flat row axis
-            flat = jnp.moveaxis(cost.reshape(B, D, S * S), 1, -1)
-            pts = flat_gather(flat, choose)                           # (B, N, D)
+            idx = choose[..., None].astype(jnp.int32) + d_offs        # (B, N, D)
+            pts = flat_gather(cost.reshape(B, D * S * S), idx)        # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
             depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
             return prob, depth
@@ -257,11 +267,11 @@ class StereoPoseNetWithDepth(nn.Module):
             def pose_branch(fused, choose, prob, nocs):
                 # depth-probability-weighted volume features at chosen points
                 C = fused.shape[-1]
-                flat = jnp.moveaxis(fused.reshape(B, D, S * S, C), 1, 2)
-                pts = flat_gather(flat, choose)           # (B, N, D, C)
-                feat = (pts * prob[..., None]).sum(2)     # (B, N, C)
+                idx = choose[..., None].astype(jnp.int32) + d_offs
+                pts = flat_gather(fused.reshape(B, D * S * S, C), idx)  # (B,N,D,C)
+                feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
-                return jnp.concatenate([feat, nocs_feat], axis=-1)
+                return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
 
             R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
             R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
