@@ -101,6 +101,59 @@ def homo_warp(src_feat, src_proj, ref_proj, depth_values):
                              depth_values[None])[0]
 
 
+def homo_warp_points(src_feat, src_proj, ref_proj, depth_values, pts_x, pts_y):
+    """Plane-sweep warp evaluated only at N chosen ref-view pixels.
+
+    src_feat: (B, H, W, C); pts_x/pts_y: (B, N) integer pixel coords in the
+    ref view. Returns (B, N, D, C). Identical math to
+    :func:`homo_warp_batched` restricted to the points — used for the pose
+    branch so the (B, D, H, W, C) volume need not be re-gathered (the full
+    gather measured 83 ms/view at B=16; this is ~50x less data).
+    """
+    B, H, W, C = src_feat.shape
+    D = depth_values.shape[1]
+    N = pts_x.shape[1]
+    dt = src_feat.dtype
+    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    rot = proj[:, :3, :3]
+    trans = proj[:, :3, 3]
+
+    ones = jnp.ones_like(pts_x, jnp.float32)
+    xyz = jnp.stack([pts_x.astype(jnp.float32), pts_y.astype(jnp.float32), ones],
+                    axis=1)                                  # (B, 3, N)
+    rot_xyz = jnp.einsum("bij,bjn->bin", rot, xyz)           # (B, 3, N)
+    proj_xyz = rot_xyz[:, :, None, :] * depth_values[:, None, :, None] \
+        + trans[:, :, None, None]                            # (B, 3, D, N)
+    pz = proj_xyz[:, 2]
+    px = proj_xyz[:, 0] / (pz + 1e-9)
+    py = proj_xyz[:, 1] / (pz + 1e-9)
+    inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1) & (pz > 1e-6)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    wx = (px - x0f)[..., None].astype(dt)
+    wy = (py - y0f)[..., None].astype(dt)
+    one = jnp.ones((), dt)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+
+    flat = src_feat.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+
+    def g(yy, xx):
+        idx = (base + yy * W + xx).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(B, D, N, C)
+
+    out = g(y0, x0) * ((one - wy) * (one - wx))
+    out = out + g(y0, x1) * ((one - wy) * wx)
+    out = out + g(y1, x0) * (wy * (one - wx))
+    out = out + g(y1, x1) * (wy * wx)
+    out = out * inside[..., None].astype(dt)
+    return jnp.moveaxis(out, 1, 2)                           # (B, N, D, C)
+
+
 class ConvBnRelu3d(nn.Module):
     out_ch: int
     kernel: int = 3
@@ -264,17 +317,26 @@ class StereoPoseNetWithDepth(nn.Module):
             nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
                                  name="nocs_pts_mlp")
 
-            def pose_branch(fused, choose, prob, nocs):
-                # depth-probability-weighted volume features at chosen points
-                C = fused.shape[-1]
-                idx = choose[..., None].astype(jnp.int32) + d_offs
-                pts = flat_gather(fused.reshape(B, D * S * S, C), idx)  # (B,N,D,C)
+            def pose_branch(f_ref, f_src, ref_proj, src_proj, choose, ref_at_pts,
+                            prob, nocs):
+                # fused features at the chosen points = ref features at the
+                # points + src features re-warped only at those points
+                # (instead of gathering from the (B,D,S,S,C) volume)
+                px = (choose % S).astype(jnp.int32)
+                py = (choose // S).astype(jnp.int32)
+                warped = homo_warp_points(f_src, src_proj, ref_proj,
+                                          depth_values, px, py)  # (B,N,D,C)
+                pts = ref_at_pts[:, :, None, :] + warped
                 feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
 
-            R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
-            R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
+            f1_pts = gather_pts(f1, v1_choose)
+            f2_pts = gather_pts(f2, v2_choose)
+            R1, t1, s1 = heads(pose_branch(f1, f2, v1_proj, v2_proj, v1_choose,
+                                           f1_pts, prob1, nocs1))
+            R2, t2, s2 = heads(pose_branch(f2, f1, v2_proj, v1_proj, v2_choose,
+                                           f2_pts, prob2, nocs2))
             out.update({"view1_r": R1, "view1_t": t1, "view1_s": s1,
                         "view2_r": R2, "view2_t": t2, "view2_s": s2})
         return out
