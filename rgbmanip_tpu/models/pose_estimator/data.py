@@ -87,7 +87,9 @@ class SimViewSampler:
             depth[e] = img["Depth"][e][py[e], px[e]]
             part, center, ext, diag = frames[e]
             local = part.inv().transform_points(world.astype(np.float64))
-            nocs[e] = ((local - center) / diag).astype(np.float32)
+            # clip: mask-resize aliasing can select pixels just off the part
+            # (e.g. door surface behind the handle); tanh range is [-1, 1]
+            nocs[e] = np.clip((local - center) / diag, -1.0, 1.0).astype(np.float32)
             # camera-cv pose of the NOCS frame
             E = img["Extrinsic"][e]
             Rp = quat_to_matrix(part.q)

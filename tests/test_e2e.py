@@ -79,7 +79,7 @@ def test_env_surface():
 
 def test_mask_projects_handle():
     """The rendered handle mask must reproject near the gt bbox center."""
-    cfg = load_config(["task.num_envs=2", "task=open_cabinet_no_dr"])
+    cfg = load_config(["task=open_cabinet_no_dr", "task.num_envs=2"])
     env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
     try:
         env.reset()
