@@ -275,11 +275,15 @@ class StereoPoseNetWithDepth(nn.Module):
         fused1 = f1[:, None] + w2
         fused2 = f2[:, None] + w1
 
-        # per-point NOCS features at the chosen pixels
-        from ....ops.gather import flat_gather
+        # per-point NOCS features at the chosen pixels. One-hot matmul
+        # sampling: the MXU runs point gathers ~40x faster than the scalar
+        # gather path for N~1K points (see ops.gather).
+        from ....ops.gather import flat_gather, point_sample_matmul
 
         def gather_pts(feat, choose):
-            return flat_gather(feat.reshape(B, S * S, feat.shape[-1]), choose)
+            py = (choose // S).astype(jnp.float32)
+            px = (choose % S).astype(jnp.float32)
+            return point_sample_matmul(feat, py, px)
 
         instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
                                name="instance_color")
@@ -295,13 +299,13 @@ class StereoPoseNetWithDepth(nn.Module):
         cost1 = reg(fused1, train)[..., 0]   # (B, D, S, S)
         cost2 = reg(fused2, train)[..., 0]
 
-        # per-point per-depth indices: d * S^2 + choose — gathers straight out
-        # of the (B, D*S*S, ...) layout without materializing a transpose
-        d_offs = (jnp.arange(D, dtype=jnp.int32) * (S * S))[None, None, :]
-
         def point_depth(cost, choose):
-            idx = choose[..., None].astype(jnp.int32) + d_offs        # (B, N, D)
-            pts = flat_gather(cost.reshape(B, D * S * S), idx)        # (B, N, D)
+            # cost (B, D, S, S) -> sample the D-vector at each chosen pixel
+            # via matmul sampling over the (B, S, S, D) layout
+            vol = jnp.moveaxis(cost, 1, -1)                           # (B,S,S,D)
+            py = (choose // S).astype(jnp.float32)
+            px = (choose % S).astype(jnp.float32)
+            pts = point_sample_matmul(vol, py, px)                    # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
             depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
             return prob, depth
@@ -317,26 +321,19 @@ class StereoPoseNetWithDepth(nn.Module):
             nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
                                  name="nocs_pts_mlp")
 
-            def pose_branch(f_ref, f_src, ref_proj, src_proj, choose, ref_at_pts,
-                            prob, nocs):
-                # fused features at the chosen points = ref features at the
-                # points + src features re-warped only at those points
-                # (instead of gathering from the (B,D,S,S,C) volume)
-                px = (choose % S).astype(jnp.int32)
-                py = (choose // S).astype(jnp.int32)
-                warped = homo_warp_points(f_src, src_proj, ref_proj,
-                                          depth_values, px, py)  # (B,N,D,C)
-                pts = ref_at_pts[:, :, None, :] + warped
+            d_offs = (jnp.arange(D, dtype=jnp.int32) * (S * S))[None, None, :]
+
+            def pose_branch(fused, choose, prob, nocs):
+                # depth-probability-weighted volume features at chosen points
+                C = fused.shape[-1]
+                idx = choose[..., None].astype(jnp.int32) + d_offs
+                pts = flat_gather(fused.reshape(B, D * S * S, C), idx)  # (B,N,D,C)
                 feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
 
-            f1_pts = gather_pts(f1, v1_choose)
-            f2_pts = gather_pts(f2, v2_choose)
-            R1, t1, s1 = heads(pose_branch(f1, f2, v1_proj, v2_proj, v1_choose,
-                                           f1_pts, prob1, nocs1))
-            R2, t2, s2 = heads(pose_branch(f2, f1, v2_proj, v1_proj, v2_choose,
-                                           f2_pts, prob2, nocs2))
+            R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
+            R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
             out.update({"view1_r": R1, "view1_t": t1, "view1_s": s1,
                         "view2_r": R2, "view2_t": t2, "view2_s": s2})
         return out
