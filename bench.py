@@ -32,7 +32,9 @@ def main():
 
     cfg = {"name": "adapose_v5", "task_name": "one_door_cabinet", "load": False,
            "checkpoint_path": "", "img_size": 224, "use_depth": True,
-           "n_pts": 1024, "direct_regression": True, "real_world": False}
+           "n_pts": 1024, "direct_regression": True, "real_world": False,
+           # production-fast volume settings (trained with the same settings)
+           "volume_scale": 2, "warp_mode": "nearest"}
 
     H, W = 480, 640
     rng = np.random.default_rng(0)

@@ -142,6 +142,10 @@ def pose_estimators():
             "n_pts": 1024,
             "direct_regression": True,
             "real_world": False,
+            # TPU volume settings (2/nearest = production-fast; 1/bilinear =
+            # reference parity)
+            "volume_scale": 2,
+            "warp_mode": "nearest",
         }
     return out
 

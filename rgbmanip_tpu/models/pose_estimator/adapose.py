@@ -44,7 +44,9 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.direct_regression = bool(cfg.get("direct_regression", True))
         self.use_depth = bool(cfg.get("use_depth", True))
         self.model = StereoPoseNetWithDepth(
-            backend="resnet34", regress_pose=self.direct_regression, dtype=dtype)
+            backend="resnet34", regress_pose=self.direct_regression,
+            volume_scale=int(cfg.get("volume_scale", 1)),
+            warp_mode=cfg.get("warp_mode", "bilinear"), dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
 

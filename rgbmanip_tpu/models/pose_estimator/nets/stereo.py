@@ -35,16 +35,19 @@ def ortho6d_to_mat(x_raw, y_raw):
     return jnp.stack([x, y, z], axis=-2)
 
 
-def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values):
+def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values,
+                      mode: str = "bilinear"):
     """Warp src view features into the ref view over depth hypotheses
     (reference network_v5.py:378-416), batched.
 
     src_feat: (B, H, W, C); src_proj/ref_proj: (B, 4, 4) full projections
     (K@E); depth_values: (B, D). Returns (B, D, H, W, C), zero outside the
-    source image.
+    source image. mode: "bilinear" (grid_sample parity, 4 gather taps) or
+    "nearest" (1 tap — 4x fewer gather rows; XLA lowers these big gathers as
+    per-channel loops on TPU, so tap count is the dominant warp cost).
 
-    TPU note: the bilinear taps run as ONE flat gather over (B*H*W) rows with
-    per-batch index offsets — a vmapped per-sample gather lowers to a slow
+    TPU note: the taps run as flat gathers over (B*H*W) rows with per-batch
+    index offsets — a vmapped per-sample gather lowers to a slow
     batched-gather loop (measured 140 ms vs <1 ms for the flat form).
     """
     B, H, W, C = src_feat.shape
@@ -87,10 +90,15 @@ def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values):
         idx = (base + yy * W + xx).reshape(-1)
         return jnp.take(flat, idx, axis=0).reshape(B, D, H * W, C)
 
-    out = g(y0, x0) * ((one - wy) * (one - wx))
-    out = out + g(y0, x1) * ((one - wy) * wx)
-    out = out + g(y1, x0) * (wy * (one - wx))
-    out = out + g(y1, x1) * (wy * wx)
+    if mode == "nearest":
+        yn = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+        xn = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+        out = g(yn, xn)
+    else:
+        out = g(y0, x0) * ((one - wy) * (one - wx))
+        out = out + g(y0, x1) * ((one - wy) * wx)
+        out = out + g(y1, x0) * (wy * (one - wx))
+        out = out + g(y1, x1) * (wy * wx)
     out = out * inside[..., None].astype(dt)
     return out.reshape(B, D, H, W, C)
 
@@ -255,9 +263,21 @@ class PoseHeads(nn.Module):
 
 
 class StereoPoseNetWithDepth(nn.Module):
-    """v5 production network (reference network_v5.py:301-519)."""
+    """v5 production network (reference network_v5.py:301-519).
+
+    TPU performance knobs (self-consistent — the estimator is trained with
+    the same settings it runs with):
+      - ``volume_scale``: build the plane-sweep volume + CostRegNet at
+        S/volume_scale resolution (1 = reference parity). The big warp
+        gathers lower to per-channel loops on TPU, so volume resolution is
+        the dominant cost; per-point depth/pose sampling bilinearly reads
+        the reduced volume.
+      - ``warp_mode``: "bilinear" (parity) or "nearest" (4x fewer taps).
+    """
     backend: str = "resnet34"
     regress_pose: bool = True
+    volume_scale: int = 1
+    warp_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -270,10 +290,21 @@ class StereoPoseNetWithDepth(nn.Module):
         f1 = psp(v1_img, train)   # (B, S, S, 32)
         f2 = psp(v2_img, train)
 
-        w2 = homo_warp_batched(f2, v2_proj, v1_proj, depth_values)  # (B,D,S,S,32)
-        w1 = homo_warp_batched(f1, v1_proj, v2_proj, depth_values)
-        fused1 = f1[:, None] + w2
-        fused2 = f2[:, None] + w1
+        vs = self.volume_scale
+        if vs > 1:
+            f1v = nn.avg_pool(f1, (vs, vs), strides=(vs, vs))
+            f2v = nn.avg_pool(f2, (vs, vs), strides=(vs, vs))
+            scale_mat = jnp.diag(jnp.array([1.0 / vs, 1.0 / vs, 1.0, 1.0]))
+            p1v = jnp.einsum("ij,bjk->bik", scale_mat, v1_proj)
+            p2v = jnp.einsum("ij,bjk->bik", scale_mat, v2_proj)
+        else:
+            f1v, f2v, p1v, p2v = f1, f2, v1_proj, v2_proj
+        Sv = S // vs
+
+        w2 = homo_warp_batched(f2v, p2v, p1v, depth_values, self.warp_mode)
+        w1 = homo_warp_batched(f1v, p1v, p2v, depth_values, self.warp_mode)
+        fused1 = f1v[:, None] + w2      # (B, D, Sv, Sv, C)
+        fused2 = f2v[:, None] + w1
 
         # per-point NOCS features at the chosen pixels. One-hot matmul
         # sampling: the MXU runs point gathers ~40x faster than the scalar
@@ -300,11 +331,12 @@ class StereoPoseNetWithDepth(nn.Module):
         cost2 = reg(fused2, train)[..., 0]
 
         def point_depth(cost, choose):
-            # cost (B, D, S, S) -> sample the D-vector at each chosen pixel
-            # via matmul sampling over the (B, S, S, D) layout
-            vol = jnp.moveaxis(cost, 1, -1)                           # (B,S,S,D)
-            py = (choose // S).astype(jnp.float32)
-            px = (choose % S).astype(jnp.float32)
+            # cost (B, D, Sv, Sv) -> sample the D-vector at each chosen pixel
+            # (full-res coords mapped into the reduced volume) via matmul
+            # sampling over the (B, Sv, Sv, D) layout
+            vol = jnp.moveaxis(cost, 1, -1)                           # (B,Sv,Sv,D)
+            py = (choose // S).astype(jnp.float32) / vs
+            px = (choose % S).astype(jnp.float32) / vs
             pts = point_sample_matmul(vol, py, px)                    # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
             depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
@@ -321,13 +353,16 @@ class StereoPoseNetWithDepth(nn.Module):
             nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
                                  name="nocs_pts_mlp")
 
-            d_offs = (jnp.arange(D, dtype=jnp.int32) * (S * S))[None, None, :]
+            d_offs = (jnp.arange(D, dtype=jnp.int32) * (Sv * Sv))[None, None, :]
 
             def pose_branch(fused, choose, prob, nocs):
                 # depth-probability-weighted volume features at chosen points
+                # (nearest pixel of the reduced volume)
                 C = fused.shape[-1]
-                idx = choose[..., None].astype(jnp.int32) + d_offs
-                pts = flat_gather(fused.reshape(B, D * S * S, C), idx)  # (B,N,D,C)
+                py = jnp.clip((choose // S).astype(jnp.int32) // vs, 0, Sv - 1)
+                px = jnp.clip((choose % S).astype(jnp.int32) // vs, 0, Sv - 1)
+                idx = (py * Sv + px)[..., None] + d_offs
+                pts = flat_gather(fused.reshape(B, D * Sv * Sv, C), idx)  # (B,N,D,C)
                 feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
