@@ -40,8 +40,8 @@ def main():
     rng = np.random.default_rng(0)
     platform = jax.devices()[0].platform
 
-    last_fps, used_B = 0.0, 0
-    for B in ([16, 8, 4] if platform != "cpu" else [2]):
+    best_fps, best_B = 0.0, 0
+    for B in ([32, 16] if platform != "cpu" else [2]):
         try:
             est = AdaPoseEstimator(cfg, log, dtype=jnp.bfloat16)
             rgb1 = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
@@ -75,18 +75,18 @@ def main():
             for _ in range(iters):
                 run()
             dt = time.perf_counter() - t0
-            last_fps = (2 * B * iters) / dt  # 2 views per estimate
-            used_B = B
-            break
+            fps = (2 * B * iters) / dt  # 2 views per estimate
+            if fps > best_fps:
+                best_fps, best_B = fps, B
         except Exception as e:  # OOM at this batch size: try smaller
             sys.stderr.write(f"bench: batch {B} failed ({type(e).__name__}); retrying\n")
             continue
 
     print(json.dumps({
         "metric": "pose_estimation_fps",
-        "value": round(last_fps, 2),
-        "unit": f"frames/sec/chip (B={used_B}, {platform}, bf16, 224px, 24 depth)",
-        "vs_baseline": round(last_fps / 10000.0, 4),
+        "value": round(best_fps, 2),
+        "unit": f"frames/sec/chip (B={best_B}, {platform}, bf16, 224px, 24 depth)",
+        "vs_baseline": round(best_fps / 10000.0, 4),
     }))
 
 
