@@ -18,7 +18,7 @@ import numpy as np
 from ..assets import panda, procedural
 from ..assets.spec import pose7
 from ..sim.pool import SimPool
-from ..utils.logger import get_logger
+from ..utils.logger import PhaseTimer, get_logger
 from ..utils.tools import Box, DictSpace, convert_observation_to_space
 from ..utils.transform import (
     Pose, axis_angle_to_quat, frame_quat, quat_to_axis, quat_to_matrix,
@@ -65,6 +65,9 @@ class VecManipulationEnv:
 
         self._rng = np.random.default_rng(seed)
         self.pool = SimPool(self.num_envs)
+        # per-phase wall-clock accounting (sim / plan / render), the
+        # observability the reference lacks (SURVEY.md §5.1)
+        self.timer = PhaseTimer()
 
         self._prepare_data(dataset_cfg, task_cfg)
 
@@ -298,22 +301,22 @@ class VecManipulationEnv:
                 self.total_move_distance[e] += np.linalg.norm(
                     self._last_action_pose[e].p - pw.p)
             self._last_action_pose[e] = pw
-            targets[e] = (pw if robot_frame else
-                          self.robot_root_pose[e].inv() * pw).to_7d()
-            if robot_frame:
-                targets[e] = poses[e]
-            else:
-                targets[e] = (self.robot_root_pose[e].inv() * pw).to_7d()
+            targets[e] = poses[e] if robot_frame else \
+                (self.robot_root_pose[e].inv() * pw).to_7d()
         run_steps = int(time / self.time_step)
         wait_steps = int(wait / self.time_step)
         mask = self._mask_from(idx)
         if planner == "ik":
             assert not skip_move, "IK cannot be skipped (reference parity)"
-            succ = self.pool.exec_ik_move(targets, run_steps, wait_steps, mask=mask)
+            with self.timer.phase("sim/ik_move"):
+                succ = self.pool.exec_ik_move(targets, run_steps, wait_steps,
+                                              mask=mask)
         elif planner == "path":
-            succ = self.pool.exec_path_move(
-                targets, use_wall=no_collision_with_front, wait_steps=wait_steps,
-                run_steps_fallback=run_steps, teleport=skip_move, mask=mask)
+            with self.timer.phase("sim/path_move"):
+                succ = self.pool.exec_path_move(
+                    targets, use_wall=no_collision_with_front,
+                    wait_steps=wait_steps, run_steps_fallback=run_steps,
+                    teleport=skip_move, mask=mask)
         else:
             raise ValueError(f"planner {planner!r} not supported")
         self.step_count[idx] += run_steps + wait_steps
@@ -425,8 +428,9 @@ class VecManipulationEnv:
 
     def get_image(self, mask="handle", indices=None):
         cams = self.camera_pose()
-        out = self.pool.render_all(cams, CAMERA_W, CAMERA_H, CAMERA_FOVY,
-                                   mask=self._mask_from(indices))
+        with self.timer.phase("sim/render"):
+            out = self.pool.render_all(cams, CAMERA_W, CAMERA_H, CAMERA_FOVY,
+                                       mask=self._mask_from(indices))
         seg = out["Seg"]
         if mask == "handle":
             m = seg == VID_GRASP

@@ -129,6 +129,9 @@ def test(env, controller, cfg, log, writer=None):
             break
     log.info(f"FINAL success rate {succ / rounds * 100:.2f}%  "
              f"move distance {dist / rounds:.3f} m over {rounds} episodes")
+    if hasattr(env, "timer"):
+        phases = " ".join(f"{k}={v:.1f}s" for k, v in env.timer.summary().items())
+        log.info(f"phase timings: {phases}")
     return {"success_rate": succ / rounds * 100, "move_distance": dist / rounds,
             "rounds": rounds}
 
