@@ -126,6 +126,13 @@ def manipulations():
 
 def pose_estimators():
     out = {"ground_truth": {"name": "ground_truth"}}
+    # no-stereo-fusion ablation (reference interface_baseline.py)
+    out["adapose_baseline"] = {
+        "name": "adapose_baseline", "task_name": "one_door_cabinet",
+        "load": False, "checkpoint_path": "", "img_size": 224,
+        "use_depth": True, "n_pts": 1024, "direct_regression": True,
+        "real_world": False, "volume_scale": 2, "warp_mode": "nearest",
+    }
     for cat, task_name in [
         ("cabinet", "one_door_cabinet"),
         ("drawer", "one_drawer_cabinet"),

@@ -46,7 +46,9 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.model = StereoPoseNetWithDepth(
             backend="resnet34", regress_pose=self.direct_regression,
             volume_scale=int(cfg.get("volume_scale", 1)),
-            warp_mode=cfg.get("warp_mode", "bilinear"), dtype=dtype)
+            warp_mode=cfg.get("warp_mode", "bilinear"),
+            stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",
+            dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
 

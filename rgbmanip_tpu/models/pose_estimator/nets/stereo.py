@@ -278,6 +278,8 @@ class StereoPoseNetWithDepth(nn.Module):
     regress_pose: bool = True
     volume_scale: int = 1
     warp_mode: str = "bilinear"
+    stereo_fusion: bool = True   # False = no-cross-view ablation (reference
+                                 # interface_baseline.py / network_baseline.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -301,10 +303,14 @@ class StereoPoseNetWithDepth(nn.Module):
             f1v, f2v, p1v, p2v = f1, f2, v1_proj, v2_proj
         Sv = S // vs
 
-        w2 = homo_warp_batched(f2v, p2v, p1v, depth_values, self.warp_mode)
-        w1 = homo_warp_batched(f1v, p1v, p2v, depth_values, self.warp_mode)
-        fused1 = f1v[:, None] + w2      # (B, D, Sv, Sv, C)
-        fused2 = f2v[:, None] + w1
+        if self.stereo_fusion:
+            w2 = homo_warp_batched(f2v, p2v, p1v, depth_values, self.warp_mode)
+            w1 = homo_warp_batched(f1v, p1v, p2v, depth_values, self.warp_mode)
+            fused1 = f1v[:, None] + w2      # (B, D, Sv, Sv, C)
+            fused2 = f2v[:, None] + w1
+        else:  # ablation: single-view volume, no cross-view warping
+            fused1 = jnp.broadcast_to(f1v[:, None], (B, D) + f1v.shape[1:])
+            fused2 = jnp.broadcast_to(f2v[:, None], (B, D) + f2v.shape[1:])
 
         # per-point NOCS features at the chosen pixels. One-hot matmul
         # sampling: the MXU runs point gathers ~40x faster than the scalar
