@@ -173,6 +173,11 @@ class AdaPoseEstimator(BasePoseEstimator):
         return jnp.where(valid[:, None, None], bbox_world, default), valid
 
     # ------------------------------------------------------------------
+    def append_picture(self, *args, **kwargs):
+        """Multi-view accumulation is handled by the caller's view queue
+        (ControlInterface) in this framework; kept for API parity."""
+        return None
+
     def estimate(self, camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2, ext2):
         """Batched estimate -> (B, 8, 3) world bboxes (numpy)."""
         self.key, k = jax.random.split(self.key)
@@ -184,3 +189,26 @@ class AdaPoseEstimator(BasePoseEstimator):
             jnp.asarray(rgb2, jnp.float32), jnp.asarray(mask2),
             jnp.asarray(ext2, jnp.float32), k)
         return np.asarray(bbox)
+
+
+def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:
+    """Version-compatible factory for the reference's interface generations
+    (AdaPose/interface*.py): each generation maps to solve-mode flags of the
+    unified estimator.
+
+      v1/v2: NOCS-match triangulation + PnP (interface.py / interface_v2.py)
+      v3:    predicted-depth back-projection + Umeyama (interface_v3.py)
+      v4/v5: direct regression heads (interface_v4.py / interface_v5.py)
+      baseline: v5 without stereo fusion (interface_baseline.py)
+    """
+    cfg = dict(cfg)
+    v = version.lower()
+    if v in ("v1", "v2"):
+        cfg.update(use_depth=False, direct_regression=False)
+    elif v == "v3":
+        cfg.update(use_depth=True, direct_regression=False)
+    elif v in ("v4", "v5"):
+        cfg.update(use_depth=True, direct_regression=True)
+    elif v == "baseline":
+        cfg.update(name="adapose_baseline")
+    return AdaPoseEstimator(cfg, logger, **kw)
