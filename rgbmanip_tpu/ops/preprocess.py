@@ -22,6 +22,10 @@ from .gather import flat_gather
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
 
+# use the fused pallas crop-resize-normalize kernel on TPU (see
+# pallas_preprocess.py); the XLA gather path is the portable fallback
+_USE_PALLAS = jax.default_backend() == "tpu"
+
 
 def mask_bbox_batched(mask):
     """(B, H, W) -> per-env (y1, x1, y2, x2, valid)."""
@@ -89,12 +93,18 @@ def prepare_model_input(rgb, mask, K, key, out_size: int = 224, n_pts: int = 102
     ratio = S / h                                                  # (B,)
 
     ii = jnp.arange(S, dtype=jnp.float32)[None]                    # (1, S)
-    src_y = rmin[:, None] + (ii + 0.5) / ratio[:, None] - 0.5      # (B, S)
-    src_x = cmin[:, None] + (ii + 0.5) / ratio[:, None] - 0.5
-    gy = jnp.broadcast_to(src_y[:, :, None], (B, S, S))
-    gx = jnp.broadcast_to(src_x[:, None, :], (B, S, S))
-    crop = bilinear_sample_batched(rgb, gy, gx)
-    crop = (crop - IMAGENET_MEAN) / IMAGENET_STD
+    if _USE_PALLAS:
+        from .pallas_preprocess import crop_resize_normalize
+        crop = crop_resize_normalize(rgb, rmin.astype(jnp.float32),
+                                     cmin.astype(jnp.float32), ratio,
+                                     out_size=S, out_dtype=jnp.float32)
+    else:
+        src_y = rmin[:, None] + (ii + 0.5) / ratio[:, None] - 0.5  # (B, S)
+        src_x = cmin[:, None] + (ii + 0.5) / ratio[:, None] - 0.5
+        gy = jnp.broadcast_to(src_y[:, :, None], (B, S, S))
+        gx = jnp.broadcast_to(src_x[:, None, :], (B, S, S))
+        crop = bilinear_sample_batched(rgb, gy, gx)
+        crop = (crop - IMAGENET_MEAN) / IMAGENET_STD
 
     # nearest crop-resize of the mask
     ny = jnp.clip((rmin[:, None] + (ii + 0.5) / ratio[:, None]).astype(jnp.int32),
