@@ -88,7 +88,9 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.logger.info(f"loaded estimator checkpoint {path}")
 
     def save(self, path: str):
+        import os
         from flax import serialization
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(
                 {"params": self.params, "batch_stats": self.batch_stats}))
