@@ -209,6 +209,14 @@ def main(argv=None):
     controller = prepare_controller(env, pose_estimator, manipulation,
                                     cfg["controller"], cfg, log, writer=writer)
 
+    # optional JAX device profiling (SURVEY.md §5.1 — the reference has no
+    # tracing facility): RGBMANIP_PROFILE=<dir> captures a device trace of
+    # the run for tensorboard/perfetto
+    profile_dir = os.environ.get("RGBMANIP_PROFILE")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     result = None
     if run_name == "test":
         result = test(env, controller, cfg, log, writer)
@@ -222,6 +230,9 @@ def main(argv=None):
         test_baseline(env, controller, cfg, log)
     else:
         raise NotImplementedError(run_name)
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
     writer.close()
     return result
 
