@@ -202,6 +202,9 @@ def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:
       v3:    predicted-depth back-projection + Umeyama (interface_v3.py)
       v4/v5: direct regression heads (interface_v4.py / interface_v5.py)
       baseline: v5 without stereo fusion (interface_baseline.py)
+      realworld: v5 flags with real-world input prep — masks come from an
+                 external segmenter (SAM in the reference realworld env)
+                 instead of sim segmentation (interface_realworld.py:39-56)
     """
     cfg = dict(cfg)
     v = version.lower()
@@ -213,4 +216,6 @@ def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:
         cfg.update(use_depth=True, direct_regression=True)
     elif v == "baseline":
         cfg.update(name="adapose_baseline")
+    elif v == "realworld":
+        cfg.update(use_depth=True, direct_regression=True, real_world=True)
     return AdaPoseEstimator(cfg, logger, **kw)

@@ -86,6 +86,7 @@ def get_lib() -> C.CDLL:
         "sc_gripper_toggle": ([vp, u8, C.c_int, C.c_int], None),
         "sc_release_target": ([vp, u8], None),
         "sc_ik": ([vp, C.c_int, d, d, d, C.c_int, C.c_double], C.c_int),
+        "sc_link_jacobian": ([vp, C.c_int, C.c_int, C.c_int, d], None),
         "sc_render_all": ([vp, u8, d, C.c_int, C.c_int, C.c_double, f, f, f, f, i32], None),
         "sc_version": ([], C.c_int),
     }

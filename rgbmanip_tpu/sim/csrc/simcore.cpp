@@ -1118,6 +1118,35 @@ void sc_set_grasp_config(void* p, int env, int obj_art, int part_link, int grasp
   if (slip_steps > 0) e.gcfg.slip_steps = slip_steps;
 }
 
+// Geometric Jacobian (6 x dof, row-major; rows = vx vy vz wx wy wz) of the
+// link-frame origin wrt the articulation's dofs. Only ancestor joints of
+// `link` contribute (general tree, not just the serial arm chain). This is
+// the Pinocchio get_link_jacobian replacement consumed by the Python
+// ImpedanceController (reference env/sapien_envs/impedance_control.py:28).
+void sc_link_jacobian(void* p, int env, int art, int link, double* out) {
+  Articulation& a = ((Pool*)p)->envs[env].arts[art];
+  a.fk();
+  int dof = a.dof();
+  for (int i = 0; i < 6 * dof; i++) out[i] = 0;
+  Vec3 pt = a.link_pose[link].p;
+  std::vector<char> anc(a.links.size(), 0);
+  for (int l = link; l >= 0; l = a.links[l].parent) anc[l] = 1;
+  for (int d = 0; d < dof; d++) {
+    int li = a.dof_links[d];
+    if (!anc[li]) continue;
+    const Link& l = a.links[li];
+    const Pose& lp = a.link_pose[li];
+    Vec3 ax = lp.q.rotate(l.axis);
+    if (l.joint_type == J_REVOLUTE) {
+      Vec3 v = ax.cross(pt - lp.p);
+      out[0 * dof + d] = v.x; out[1 * dof + d] = v.y; out[2 * dof + d] = v.z;
+      out[3 * dof + d] = ax.x; out[4 * dof + d] = ax.y; out[5 * dof + d] = ax.z;
+    } else if (l.joint_type == J_PRISMATIC) {
+      out[0 * dof + d] = ax.x; out[1 * dof + d] = ax.y; out[2 * dof + d] = ax.z;
+    }
+  }
+}
+
 int sc_get_grasped(void* p, int env) {
   return ((Pool*)p)->envs[env].grasp.grasped ? 1 : 0;
 }

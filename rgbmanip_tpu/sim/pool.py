@@ -118,6 +118,15 @@ class SimPool:
         self.lib.sc_art_get_link_pose(self.handle, env, art, link, dptr(out))
         return out
 
+    def link_jacobian(self, env: int, art: int, link: int) -> np.ndarray:
+        """Geometric Jacobian (6, dof) of the link frame origin — rows are
+        (vx, vy, vz, wx, wy, wz); the Pinocchio get_link_jacobian
+        replacement (reference impedance_control.py:28)."""
+        dof = self.art_dof(env, art)
+        out = np.zeros(6 * dof)
+        self.lib.sc_link_jacobian(self.handle, env, art, link, dptr(out))
+        return out.reshape(6, dof)
+
     def hand_pose(self, env: int) -> np.ndarray:
         out = np.zeros(7)
         self.lib.sc_get_hand_pose(self.handle, env, dptr(out))

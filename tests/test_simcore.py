@@ -131,3 +131,60 @@ def test_cabinet_asset_and_grasp():
     p.exec_ik_move(pull_target[None], run_steps=400, wait_steps=100)
     dof1 = p.get_qpos(0, obj)[0]
     assert dof1 > dof0 + 0.1, (dof0, dof1)
+
+
+def test_link_jacobian_finite_difference(pool):
+    """J from simcore matches finite-difference FK derivatives."""
+    pool.set_qpos(0, 0, HOME)
+    hand = 8  # panda_hand link index is whatever set_robot used; re-derive:
+    from rgbmanip_tpu.assets import panda as _panda  # noqa: F401
+    # use the ee link recorded at fixture setup: link_index of panda_hand
+    hand = pool.link_index(0, 0, "panda_hand")
+    J = pool.link_jacobian(0, 0, hand)
+    dof = pool.art_dof(0, 0)
+    assert J.shape == (6, dof)
+    eps = 1e-6
+    q0 = pool.get_qpos(0, 0)
+    p0 = pool.link_pose(0, 0, hand)
+    for d in range(7):
+        q = q0.copy()
+        q[d] += eps
+        pool.set_qpos(0, 0, q)
+        p1 = pool.link_pose(0, 0, hand)
+        # linear velocity rows
+        np.testing.assert_allclose(J[:3, d], (p1[:3] - p0[:3]) / eps, atol=1e-4)
+        # angular rows: omega = 2 * Im(dq * q0^-1) / eps
+        w0, x0, y0, z0 = p0[3:]
+        w1, x1, y1, z1 = p1[3:]
+        dq = np.array([
+            -w1 * x0 + x1 * w0 - y1 * z0 + z1 * y0,
+            -w1 * y0 + x1 * z0 + y1 * w0 - z1 * x0,
+            -w1 * z0 - x1 * y0 + y1 * x0 + z1 * w0,
+        ])
+        np.testing.assert_allclose(J[3:, d], 2 * dq / eps, atol=1e-3)
+    pool.set_qpos(0, 0, q0)
+
+
+def test_impedance_controller(pool):
+    """Impedance torques pull the effector toward the target and vanish at
+    the rest pose (reference impedance_control.py:25-54 semantics)."""
+    from rgbmanip_tpu.envs.impedance_control import ImpedanceController
+
+    pool.set_qpos(0, 0, HOME)
+    hand = pool.link_index(0, 0, "panda_hand")
+    ctl = ImpedanceController(pool, 0, 0, hand)
+    q = pool.get_qpos(0, 0)
+    dq = np.zeros_like(q)
+    cur = pool.link_pose(0, 0, hand)
+
+    # at the target with zero velocity at rest: zero torque
+    tau0 = ctl.control_ik(cur, q, q, dq)
+    np.testing.assert_allclose(tau0, 0.0, atol=1e-8)
+
+    # target displaced +x: the induced task-space force points toward it
+    tgt = cur.copy()
+    tgt[0] += 0.1
+    tau = ctl.control_ik(tgt, q, q, dq)
+    J = pool.link_jacobian(0, 0, hand)[:, :7]
+    ee_force_dir = J @ tau  # ~ J J^T Kp dx, positive along +x
+    assert ee_force_dir[0] > 0
