@@ -43,11 +43,20 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.n_pts = int(cfg.get("n_pts", 1024))
         self.direct_regression = bool(cfg.get("direct_regression", True))
         self.use_depth = bool(cfg.get("use_depth", True))
+        # plane-sweep depth sampling (reference interface_v5.py:272-277 uses
+        # 24 bins at 0.1 m; n_depth/d_interval are TPU-speed knobs — a fast
+        # config covers the same 0.1-2.4 m range with fewer, coarser bins)
+        self.n_depth = int(cfg.get("n_depth", 24))
+        self.d_min = float(cfg.get("d_min", 0.1))
+        self.d_interval = float(cfg.get("d_interval", 0.1))
         self.model = StereoPoseNetWithDepth(
-            backend="resnet34", regress_pose=self.direct_regression,
+            backend=cfg.get("backend", "resnet34"),
+            regress_pose=self.direct_regression,
             volume_scale=int(cfg.get("volume_scale", 1)),
             warp_mode=cfg.get("warp_mode", "bilinear"),
             stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",
+            reg_impl=cfg.get("reg_impl", "banded2d"),
+            volume_channels=int(cfg.get("volume_channels", 0)),
             dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
@@ -55,7 +64,8 @@ class AdaPoseEstimator(BasePoseEstimator):
         S, N = self.img_size, self.n_pts
         dummy = (jnp.zeros((1, S, S, 3), dtype), jnp.zeros((1, N), jnp.int32),
                  jnp.zeros((1, S, S, 3), dtype), jnp.zeros((1, N), jnp.int32),
-                 jnp.eye(4)[None], jnp.eye(4)[None], depth_hypotheses(1))
+                 jnp.eye(4)[None], jnp.eye(4)[None],
+                 depth_hypotheses(1, self.d_min, self.d_interval, self.n_depth))
         variables = self.model.init(init_key, *dummy, train=False)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -147,7 +157,8 @@ class AdaPoseEstimator(BasePoseEstimator):
             return jnp.eye(4).at[:3, :].set(newK @ ext[:3, :])
         P1 = jax.vmap(full_proj)(newK1, ext1)
         P2 = jax.vmap(full_proj)(newK2, ext2)
-        depth_values = depth_hypotheses(B)
+        depth_values = depth_hypotheses(B, self.d_min, self.d_interval,
+                                        self.n_depth)
 
         pred = self._forward(params, batch_stats,
                              c1.astype(self.model.dtype), choose1,

@@ -36,15 +36,20 @@ def ortho6d_to_mat(x_raw, y_raw):
 
 
 def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values,
-                      mode: str = "bilinear"):
+                      mode: str = "bilinear", layout: str = "dhw"):
     """Warp src view features into the ref view over depth hypotheses
     (reference network_v5.py:378-416), batched.
 
     src_feat: (B, H, W, C); src_proj/ref_proj: (B, 4, 4) full projections
-    (K@E); depth_values: (B, D). Returns (B, D, H, W, C), zero outside the
-    source image. mode: "bilinear" (grid_sample parity, 4 gather taps) or
-    "nearest" (1 tap — 4x fewer gather rows; XLA lowers these big gathers as
-    per-channel loops on TPU, so tap count is the dominant warp cost).
+    (K@E); depth_values: (B, D). Returns (B, D, H, W, C) for layout="dhw"
+    or (B, H, W, D, C) for layout="hwd", zero outside the source image.
+    mode: "bilinear" (grid_sample parity, 4 gather taps) or "nearest"
+    (1 tap — 4x fewer gather rows; the gather is row-count-bound on TPU).
+
+    layout="hwd" orders the gather rows (pixel, depth) so the volume lands
+    channels-dense (B, H, W, D*C) with no transpose — the layout the
+    banded-2D cost regularization and the per-point wide-row gathers want.
+    Reordering the int32 index array is free relative to the row gather.
 
     TPU note: the taps run as flat gathers over (B*H*W) rows with per-batch
     index offsets — a vmapped per-sample gather lowers to a slow
@@ -86,20 +91,28 @@ def homo_warp_batched(src_feat, src_proj, ref_proj, depth_values,
     flat = src_feat.reshape(B * H * W, C)
     base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
 
+    def reorder(a):
+        return jnp.swapaxes(a, 1, 2) if layout == "hwd" else a  # (B,HW,D)
+
     def g(yy, xx):
-        idx = (base + yy * W + xx).reshape(-1)
-        return jnp.take(flat, idx, axis=0).reshape(B, D, H * W, C)
+        idx = reorder(base + yy * W + xx).reshape(-1)
+        shp = (B, H * W, D, C) if layout == "hwd" else (B, D, H * W, C)
+        return jnp.take(flat, idx, axis=0).reshape(shp)
 
     if mode == "nearest":
         yn = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
         xn = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
         out = g(yn, xn)
     else:
-        out = g(y0, x0) * ((one - wy) * (one - wx))
-        out = out + g(y0, x1) * ((one - wy) * wx)
-        out = out + g(y1, x0) * (wy * (one - wx))
-        out = out + g(y1, x1) * (wy * wx)
-    out = out * inside[..., None].astype(dt)
+        def w(a):  # (B,D,HW) weight -> broadcastable to gather layout
+            return reorder(a)[..., None]
+        out = g(y0, x0) * w((one - wy[..., 0]) * (one - wx[..., 0]))
+        out = out + g(y0, x1) * w((one - wy[..., 0]) * wx[..., 0])
+        out = out + g(y1, x0) * w(wy[..., 0] * (one - wx[..., 0]))
+        out = out + g(y1, x1) * w(wy[..., 0] * wx[..., 0])
+    out = out * reorder(inside)[..., None].astype(dt)
+    if layout == "hwd":
+        return out.reshape(B, H, W, D, C)
     return out.reshape(B, D, H, W, C)
 
 
@@ -216,6 +229,125 @@ class CostRegNet(nn.Module):
                        dtype=self.dtype, name="prob")(x)
 
 
+def _band_conv(D_in: int, stride: int):
+    """(3, D_out, D_in) selector: forward conv3d depth taps di = s*do+kd-1."""
+    import numpy as np
+    D_out = (D_in + 2 - 3) // stride + 1
+    kd = np.arange(3)[:, None, None]
+    do = np.arange(D_out)[None, :, None]
+    di = np.arange(D_in)[None, None, :]
+    return jnp.asarray((di == stride * do + kd - 1).astype(np.float32))
+
+
+def _band_deconv(D_in: int):
+    """(3, 2*D_in, D_in) selector: flax ConvTranspose(k=3, s=2, SAME) depth
+    taps do = 2*di + 2 - kd (mapping verified against flax numerically)."""
+    import numpy as np
+    kd = np.arange(3)[:, None, None]
+    do = np.arange(2 * D_in)[None, :, None]
+    di = np.arange(D_in)[None, None, :]
+    return jnp.asarray((do == 2 * di + 2 - kd).astype(np.float32))
+
+
+class _Kernel3d(nn.Module):
+    """Registers only the (3,3,3,Ci,Co) kernel param — same tree path/shape
+    as the nn.Conv/nn.ConvTranspose inside the 3-D CostRegNet blocks, so
+    checkpoints are interchangeable between reg_impl variants."""
+    ci: int
+    co: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, 3, self.ci, self.co))
+
+
+class ConvBnRelu3dBanded(nn.Module):
+    """3-D conv+BN+ReLU over a channels-dense (B, H, W, D*Ci) volume,
+    executed as a 2-D conv with a depth-banded dense weight matrix.
+
+    Math-identical to ConvBnRelu3d/DeconvBnRelu3d on (B, D, H, W, Ci): the
+    (3,3,3,Ci,Co) kernel is scattered into a (3,3,D*Ci,D_out*Co) block-banded
+    matrix at apply time. On TPU this turns 8-channel 3-D convs (profiled at
+    ~6% MXU lane utilization, batch-in-lanes emitter) into lane-dense 2-D
+    convs — D/3 more FLOPs at ~10-20x better utilization, and the volume
+    never leaves the (H, W, D*C) layout (no relayout copies). BatchNorm runs
+    on a (B, H, W*D_out, Co) view so its statistics and (Co,) state match the
+    3-D module exactly.
+    """
+    out_ch: int
+    stride: int = 1
+    relu: bool = True
+    transpose: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, D: int, train: bool = False):
+        B, H, W, DC = x.shape
+        ci = DC // D
+        co = self.out_ch
+        k = _Kernel3d(ci, co, name="conv")()
+        band = _band_deconv(D) if self.transpose else _band_conv(D, self.stride)
+        D_out = band.shape[1]
+        w2 = jnp.einsum("kde,kyxio->yxeido", band, k)
+        w2 = w2.reshape(3, 3, D * ci, D_out * co).astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.transpose:
+            y = jax.lax.conv_transpose(x.astype(self.dtype), w2, (2, 2),
+                                       "SAME", dimension_numbers=dn)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w2, (self.stride,) * 2,
+                ((1, 1), (1, 1)), dimension_numbers=dn)
+        Hn, Wn = y.shape[1], y.shape[2]
+        if self.use_bn:
+            y = y.reshape(B, Hn, Wn * D_out, co)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn")(y)
+        if self.relu:
+            y = nn.relu(y)
+        return y.reshape(B, Hn, Wn, D_out * co), D_out
+
+
+class CostRegNet2D(nn.Module):
+    """Banded-dense execution plan of :class:`CostRegNet` (identical math and
+    parameter tree) over channels-dense volumes: (B, H, W, D*C) in ->
+    (B, H, W, D) out."""
+    base: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, D: int, train: bool = False):
+        b = self.base
+        dt = self.dtype
+
+        def cbr(name, out_ch, stride=1, transpose=False):
+            return ConvBnRelu3dBanded(out_ch, stride=stride, transpose=transpose,
+                                      dtype=dt, name=name)
+
+        c0, d0 = cbr("conv0", b)(x, D, train)
+        x1, d1 = cbr("conv1", b * 2, stride=2)(c0, d0, train)
+        c2, d2 = cbr("conv2", b * 2)(x1, d1, train)
+        x3, d3 = cbr("conv3", b * 4, stride=2)(c2, d2, train)
+        c4, d4 = cbr("conv4", b * 4)(x3, d3, train)
+        x5, d5 = cbr("conv5", b * 8, stride=2)(c4, d4, train)
+        x6, d6 = cbr("conv6", b * 8)(x5, d5, train)
+        u7, _ = cbr("conv7", b * 4, transpose=True)(x6, d6, train)
+        x = c4 + u7
+        u9, _ = cbr("conv9", b * 2, transpose=True)(x, d4, train)
+        x = c2 + u9
+        u11, _ = cbr("conv11", b, transpose=True)(x, d2, train)
+        x = c0 + u11
+        k = _Kernel3d(b, 1, name="prob")()
+        band = _band_conv(D, 1)
+        w2 = jnp.einsum("kde,kyxio->yxeido", band, k)
+        w2 = w2.reshape(3, 3, D * b, D).astype(dt)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), w2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (B, H, W, D)
+
+
 class MLP1D(nn.Module):
     """Per-point MLP (torch Conv1d k=1 stack) as Dense layers on (..., N, C).
     One instance can be applied to several inputs (shared weights across the
@@ -280,6 +412,13 @@ class StereoPoseNetWithDepth(nn.Module):
     warp_mode: str = "bilinear"
     stereo_fusion: bool = True   # False = no-cross-view ablation (reference
                                  # interface_baseline.py / network_baseline.py)
+    reg_impl: str = "banded2d"   # "banded2d" (channels-dense, MXU-friendly)
+                                 # | "conv3d" (reference-shaped 3-D U-Net);
+                                 # identical math and parameter tree
+    volume_channels: int = 0     # >0: 1x1-reduce features to this many
+                                 # channels before warping (shrinks the warp
+                                 # gathers + volume ~C/32x; changes the
+                                 # architecture -> train with it on)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -302,15 +441,35 @@ class StereoPoseNetWithDepth(nn.Module):
         else:
             f1v, f2v, p1v, p2v = f1, f2, v1_proj, v2_proj
         Sv = S // vs
+        if self.volume_channels:
+            vol_reduce = nn.Conv(self.volume_channels, (1, 1), use_bias=False,
+                                 dtype=self.dtype, name="volume_reduce")
+            f1v = vol_reduce(f1v)
+            f2v = vol_reduce(f2v)
+        C = f1v.shape[-1]
 
+        hwd = self.reg_impl == "banded2d"
         if self.stereo_fusion:
-            w2 = homo_warp_batched(f2v, p2v, p1v, depth_values, self.warp_mode)
-            w1 = homo_warp_batched(f1v, p1v, p2v, depth_values, self.warp_mode)
-            fused1 = f1v[:, None] + w2      # (B, D, Sv, Sv, C)
-            fused2 = f2v[:, None] + w1
+            layout = "hwd" if hwd else "dhw"
+            w2 = homo_warp_batched(f2v, p2v, p1v, depth_values, self.warp_mode,
+                                   layout)
+            w1 = homo_warp_batched(f1v, p1v, p2v, depth_values, self.warp_mode,
+                                   layout)
+            if hwd:
+                fused1 = f1v[:, :, :, None, :] + w2   # (B, Sv, Sv, D, C)
+                fused2 = f2v[:, :, :, None, :] + w1
+            else:
+                fused1 = f1v[:, None] + w2            # (B, D, Sv, Sv, C)
+                fused2 = f2v[:, None] + w1
         else:  # ablation: single-view volume, no cross-view warping
-            fused1 = jnp.broadcast_to(f1v[:, None], (B, D) + f1v.shape[1:])
-            fused2 = jnp.broadcast_to(f2v[:, None], (B, D) + f2v.shape[1:])
+            if hwd:
+                fused1 = jnp.broadcast_to(f1v[:, :, :, None, :],
+                                          (B, Sv, Sv, D, C))
+                fused2 = jnp.broadcast_to(f2v[:, :, :, None, :],
+                                          (B, Sv, Sv, D, C))
+            else:
+                fused1 = jnp.broadcast_to(f1v[:, None], (B, D) + f1v.shape[1:])
+                fused2 = jnp.broadcast_to(f2v[:, None], (B, D) + f2v.shape[1:])
 
         # per-point NOCS features at the chosen pixels. One-hot matmul
         # sampling: the MXU runs point gathers ~40x faster than the scalar
@@ -331,19 +490,25 @@ class StereoPoseNetWithDepth(nn.Module):
         nocs1 = nocs_head(n1)     # (B, N, 3)
         nocs2 = nocs_head(n2)
 
-        # cost regularization + per-point depth distribution
-        reg = CostRegNet(base=8, dtype=self.dtype, name="cost_regularization")
-        cost1 = reg(fused1, train)[..., 0]   # (B, D, S, S)
-        cost2 = reg(fused2, train)[..., 0]
+        # cost regularization -> (B, Sv, Sv, D) channels-dense cost volume
+        if hwd:
+            reg = CostRegNet2D(base=8, dtype=self.dtype,
+                               name="cost_regularization")
+            cost1 = reg(fused1.reshape(B, Sv, Sv, D * C), D, train)
+            cost2 = reg(fused2.reshape(B, Sv, Sv, D * C), D, train)
+        else:
+            reg = CostRegNet(base=8, dtype=self.dtype,
+                             name="cost_regularization")
+            cost1 = jnp.moveaxis(reg(fused1, train)[..., 0], 1, -1)
+            cost2 = jnp.moveaxis(reg(fused2, train)[..., 0], 1, -1)
 
         def point_depth(cost, choose):
-            # cost (B, D, Sv, Sv) -> sample the D-vector at each chosen pixel
+            # cost (B, Sv, Sv, D): sample the D-vector at each chosen pixel
             # (full-res coords mapped into the reduced volume) via matmul
-            # sampling over the (B, Sv, Sv, D) layout
-            vol = jnp.moveaxis(cost, 1, -1)                           # (B,Sv,Sv,D)
+            # sampling
             py = (choose // S).astype(jnp.float32) / vs
             px = (choose % S).astype(jnp.float32) / vs
-            pts = point_sample_matmul(vol, py, px)                    # (B, N, D)
+            pts = point_sample_matmul(cost, py, px)                   # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
             depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
             return prob, depth
@@ -359,16 +524,22 @@ class StereoPoseNetWithDepth(nn.Module):
             nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
                                  name="nocs_pts_mlp")
 
-            d_offs = (jnp.arange(D, dtype=jnp.int32) * (Sv * Sv))[None, None, :]
-
             def pose_branch(fused, choose, prob, nocs):
                 # depth-probability-weighted volume features at chosen points
-                # (nearest pixel of the reduced volume)
-                C = fused.shape[-1]
+                # (nearest pixel of the reduced volume). Gather layout: one
+                # (D*C)-wide row per point instead of D C-wide rows — TPU
+                # gathers pay per row, so 24x fewer/24x bigger rows runs at
+                # HBM bandwidth (the (B,N,D)-indexed form profiled ~10 ms/view
+                # at B=16). In the channels-dense path the volume is already
+                # (B, Sv, Sv, D, C): the wide gather needs no transpose.
                 py = jnp.clip((choose // S).astype(jnp.int32) // vs, 0, Sv - 1)
                 px = jnp.clip((choose % S).astype(jnp.int32) // vs, 0, Sv - 1)
-                idx = (py * Sv + px)[..., None] + d_offs
-                pts = flat_gather(fused.reshape(B, D * Sv * Sv, C), idx)  # (B,N,D,C)
+                if hwd:
+                    fused_t = fused.reshape(B, Sv * Sv, D * C)
+                else:
+                    fused_t = jnp.moveaxis(fused, 1, 3).reshape(B, Sv * Sv, D * C)
+                pts = flat_gather(fused_t, py * Sv + px)      # (B, N, D*C)
+                pts = pts.reshape(B, -1, D, C)
                 feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
