@@ -20,6 +20,41 @@ import time
 import numpy as np
 
 
+def scan_bench(fn, *args, iters=10, reps=3):
+    """Steady-state ms/iteration, robust to result caching and dispatch
+    artifacts: fn runs inside a lax.scan with a perturbed first argument per
+    step and a carried data dependency, so no (program, input) cache can
+    serve an iteration and iterations cannot be elided. (Per-call timing of
+    repeated identical executions through the device tunnel was measured up
+    to ~1000x faster than real device time — this form is the honest one.)
+
+    Args are passed through jit as real arguments (not closure captures:
+    captured arrays become HLO constants — huge compile payloads and
+    constant-foldable subgraphs)."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(a, carry, k):
+        a0 = a[0] + (carry * 1e-12 + k.astype(a[0].dtype) * 0)
+        out = fn(a0, *a[1:])
+        s = sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(out))
+        return carry + s * 1e-30, ()
+
+    @jax.jit
+    def run(*a):
+        c, _ = jax.lax.scan(lambda carry, k: step(a, carry, k),
+                            jnp.float32(0), jnp.arange(iters))
+        return c
+
+    jax.block_until_ready(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*args))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -58,24 +93,21 @@ def main():
             # stage inputs on device once: the steady-state pipeline streams
             # observations with double-buffered transfers that overlap compute,
             # so the chip metric is the jitted estimate itself
-            dev_args = [jax.device_put(x) for x in (
-                jnp.asarray(K), jnp.asarray(rgb1), jnp.asarray(mask),
-                jnp.asarray(ext), jnp.asarray(rgb2), jnp.asarray(mask),
-                jnp.asarray(ext2))]
+            rgb1d, rgb2d, maskd = (jnp.asarray(rgb1), jnp.asarray(rgb2),
+                                   jnp.asarray(mask))
+            Kd, e1d, e2d = jnp.asarray(K), jnp.asarray(ext), jnp.asarray(ext2)
             key = jax.random.PRNGKey(0)
 
-            def run():
-                bbox, valid = est._estimate_fn(est.params, est.batch_stats,
-                                               *dev_args, key)
-                return bbox.block_until_ready()
+            def run(r1):
+                bbox, valid = est._estimate(est.params, est.batch_stats, Kd,
+                                            r1, maskd, e1d, rgb2d, maskd,
+                                            e2d, key)
+                return bbox
 
-            run()  # warmup (compile)
-            iters = 20 if platform != "cpu" else 2
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                run()
-            dt = time.perf_counter() - t0
-            fps = (2 * B * iters) / dt  # 2 views per estimate
+            iters = 10 if platform != "cpu" else 2
+            ms = scan_bench(run, rgb1d, iters=iters,
+                            reps=3 if platform != "cpu" else 1)
+            fps = 2 * B / ms * 1e3  # 2 views per estimate
             if fps > best_fps:
                 best_fps, best_B = fps, B
         except Exception as e:  # OOM at this batch size: try smaller

@@ -17,26 +17,29 @@ import jax.numpy as jnp
 
 def scan_bench(fn, *args, iters: int = 10, reps: int = 3):
     """fn(*args) -> pytree. First arg must be a float array; it is perturbed
-    per scan step with a tiny data-dependent offset."""
+    per scan step with a tiny data-dependent offset.
 
-    def step(carry, k):
-        a0 = args[0] + (carry * 1e-12 + k.astype(args[0].dtype) * 0)
-        out = fn(a0, *args[1:])
+    args are passed through jit as real arguments (NOT closure captures):
+    captured arrays become HLO constants, which blows up the compile payload
+    and would let XLA constant-fold input-dependent subgraphs."""
+
+    def step(a, carry, k):
+        a0 = a[0] + (carry * 1e-12 + k.astype(a[0].dtype) * 0)
+        out = fn(a0, *a[1:])
         leaves = jax.tree.leaves(out)
         s = sum(x.astype(jnp.float32).sum() for x in leaves)
         return carry + s * 1e-30, ()
 
-    ks = jnp.arange(iters)
-
     @jax.jit
-    def run():
-        c, _ = jax.lax.scan(step, jnp.float32(0), ks)
+    def run(*a):
+        c, _ = jax.lax.scan(lambda carry, k: step(a, carry, k),
+                            jnp.float32(0), jnp.arange(iters))
         return c
 
-    jax.block_until_ready(run())
+    jax.block_until_ready(run(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        jax.block_until_ready(run(*args))
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return best
