@@ -21,36 +21,37 @@ import numpy as np
 
 
 def scan_bench(fn, *args, iters=10, reps=3):
-    """Steady-state ms/iteration, robust to result caching and dispatch
-    artifacts: fn runs inside a lax.scan with a perturbed first argument per
-    step and a carried data dependency, so no (program, input) cache can
-    serve an iteration and iterations cannot be elided. (Per-call timing of
-    repeated identical executions through the device tunnel was measured up
-    to ~1000x faster than real device time — this form is the honest one.)
-
-    Args are passed through jit as real arguments (not closure captures:
-    captured arrays become HLO constants — huge compile payloads and
-    constant-foldable subgraphs)."""
+    """Steady-state ms per call of fn(*args), robust to the three artifacts
+    observed through the TPU tunnel (see scripts/perfutil.py): (1) the tunnel
+    memoizes (executable, inputs) -> result, so every rep gets a distinct
+    scalar salt input; (2) XLA hoists loop-invariant scan work and factors
+    sum() through linear ops, so the carry perturbs the first argument and
+    reduces via non-factorable max(|out|); (3) per-call dispatch overhead is
+    amortized by running iterations inside one scan executable. Array args
+    are jit parameters, not closure captures (captures become HLO constants:
+    huge compile payloads + constant folding)."""
     import jax
     import jax.numpy as jnp
 
-    def step(a, carry, k):
-        a0 = a[0] + (carry * 1e-12 + k.astype(a[0].dtype) * 0)
+    def step(a, salt, carry, k):
+        a0 = a[0] + (carry * 1e-20 + salt * 0 + k.astype(a[0].dtype) * 0)
         out = fn(a0, *a[1:])
-        s = sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(out))
+        s = sum(jnp.max(jnp.abs(x.astype(jnp.float32)))
+                for x in jax.tree.leaves(out))
         return carry + s * 1e-30, ()
 
     @jax.jit
-    def run(*a):
-        c, _ = jax.lax.scan(lambda carry, k: step(a, carry, k),
-                            jnp.float32(0), jnp.arange(iters))
+    def run(salt, *a):
+        c, _ = jax.lax.scan(lambda carry, k: step(a, salt, carry, k),
+                            salt * 1e-12, jnp.arange(iters))
         return c
 
-    jax.block_until_ready(run(*args))
+    jax.block_until_ready(run(jnp.float32(-1.0), *args))  # compile
     best = float("inf")
-    for _ in range(reps):
+    for r in range(reps):
+        salt = jnp.float32(r + 1)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(*args))
+        jax.block_until_ready(run(salt, *args))
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return best
 
@@ -98,15 +99,14 @@ def main():
             Kd, e1d, e2d = jnp.asarray(K), jnp.asarray(ext), jnp.asarray(ext2)
             key = jax.random.PRNGKey(0)
 
-            def run(r1):
-                bbox, valid = est._estimate(est.params, est.batch_stats, Kd,
-                                            r1, maskd, e1d, rgb2d, maskd,
-                                            e2d, key)
+            def run(r1, r2, m, k_, e1, e2):
+                bbox, valid = est._estimate(est.params, est.batch_stats, k_,
+                                            r1, m, e1, r2, m, e2, key)
                 return bbox
 
             iters = 10 if platform != "cpu" else 2
-            ms = scan_bench(run, rgb1d, iters=iters,
-                            reps=3 if platform != "cpu" else 1)
+            ms = scan_bench(run, rgb1d, rgb2d, maskd, Kd, e1d, e2d,
+                            iters=iters, reps=3 if platform != "cpu" else 1)
             fps = 2 * B / ms * 1e3  # 2 views per estimate
             if fps > best_fps:
                 best_fps, best_B = fps, B

@@ -47,6 +47,12 @@ class AdaPoseEstimator(BasePoseEstimator):
         # 24 bins at 0.1 m; n_depth/d_interval are TPU-speed knobs — a fast
         # config covers the same 0.1-2.4 m range with fewer, coarser bins)
         self.n_depth = int(cfg.get("n_depth", 24))
+        if self.use_depth and self.n_depth % 8 != 0:
+            # the cost-regularization U-Net halves the depth axis three
+            # times with exact-doubling deconvs on the way up: skip adds
+            # only line up when D, D/2 and D/4 are even, i.e. D % 8 == 0
+            raise ValueError(f"n_depth must be a multiple of 8 for the "
+                             f"cost-regularization U-Net, got {self.n_depth}")
         self.d_min = float(cfg.get("d_min", 0.1))
         self.d_interval = float(cfg.get("d_interval", 0.1))
         self.model = StereoPoseNetWithDepth(
