@@ -32,7 +32,8 @@ class SimViewSampler:
     """Samples labelled view pairs from a running VecManipulationEnv."""
 
     def __init__(self, env, img_size: int = 224, n_pts: int = 1024, seed: int = 0,
-                 pose_min=(-0.3, -0.3, 0.4), pose_max=(0.3, 0.3, 1.0)):
+                 pose_min=(-0.3, -0.3, 0.4), pose_max=(0.3, 0.3, 1.0),
+                 reuse: int = 8, buffer_size: int = 64):
         self.env = env
         self.img_size = img_size
         self.n_pts = n_pts
@@ -40,6 +41,18 @@ class SimViewSampler:
         self.key = jax.random.PRNGKey(seed)
         self.pose_min = np.asarray(pose_min)
         self.pose_max = np.asarray(pose_max)
+        # Render replay buffer: rendering is host-serial (this box exposes a
+        # single CPU core) while the train step runs on TPU, so fresh scene
+        # renders are the throughput bottleneck. Mirroring the reference's
+        # offline regime (it trains on a fixed dataset dumped by
+        # train=collect), each rendered view pair is reused ``reuse`` times
+        # with FRESH per-point sampling (new choose indices + labels) —
+        # only 1 in ``reuse`` batches pays the render cost. reuse=1
+        # disables buffering.
+        self.reuse = max(1, int(reuse))
+        self.buffer_size = int(buffer_size)
+        self._buffer: list = []
+        self._calls = 0
 
     def _random_views(self):
         """Teleport the wrist camera toward the handle; return render dict."""
@@ -70,13 +83,16 @@ class SimViewSampler:
                         float(np.linalg.norm(ext)) + 1e-9))
         return out
 
-    def _labels_for_view(self, img, pts2d):
-        """Per-point NOCS/depth labels + per-env pose labels for one view."""
+    def _labels_for_view(self, img, pts2d, frames=None):
+        """Per-point NOCS/depth labels + per-env pose labels for one view.
+        ``frames`` must be the part frames captured at render time (the env
+        may have been re-randomized since when replaying buffered views)."""
+        if frames is None:
+            frames = self._part_frames()
         n, N = pts2d.shape[:2]
         H, W = img["Depth"].shape[1:3]
         px = np.clip(np.round(pts2d[..., 0]).astype(int), 0, W - 1)
         py = np.clip(np.round(pts2d[..., 1]).astype(int), 0, H - 1)
-        frames = self._part_frames()
         nocs = np.zeros((n, N, 3), np.float32)
         depth = np.zeros((n, N), np.float32)
         R_lab = np.zeros((n, 3, 3), np.float32)
@@ -99,13 +115,36 @@ class SimViewSampler:
             s_lab[e] = (ext / diag).astype(np.float32)
         return nocs, depth, R_lab, t_lab, s_lab
 
-    def sample_batch(self) -> Optional[Dict]:
-        """One labelled training batch (resets the envs first)."""
+    _KEEP = ("Color", "Depth", "Position", "Mask", "Intrinsic", "Extrinsic")
+
+    def _render_entry(self) -> Optional[tuple]:
+        """Render one fresh view pair (resets envs) -> buffered entry."""
         self.env.reset()
         img1 = self._random_views()
         img2 = self._random_views()
         if img1["Mask"].sum() == 0 or img2["Mask"].sum() == 0:
             return None
+        frames = self._part_frames()
+        slim = lambda im: {k: im[k] for k in self._KEEP}
+        return (slim(img1), slim(img2), frames)
+
+    def sample_batch(self) -> Optional[Dict]:
+        """One labelled training batch. Renders a fresh view pair every
+        ``reuse``-th call; otherwise replays a buffered render with fresh
+        point sampling and labels."""
+        self._calls += 1
+        fresh = (self.reuse == 1 or not self._buffer
+                 or (self._calls % self.reuse) == 1)
+        if fresh:
+            entry = self._render_entry()
+            if entry is None:
+                return None
+            self._buffer.append(entry)
+            if len(self._buffer) > self.buffer_size:
+                self._buffer.pop(int(self.rng.integers(len(self._buffer) - 1)))
+        else:
+            entry = self._buffer[int(self.rng.integers(len(self._buffer)))]
+        img1, img2, frames = entry
         self.key, k1, k2 = jax.random.split(self.key, 3)
         K = jnp.asarray(img1["Intrinsic"])
         c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
@@ -119,8 +158,8 @@ class SimViewSampler:
             return None
         pts2d1_np = np.asarray(pts2d1)
         pts2d2_np = np.asarray(pts2d2)
-        nocs1, depth1, r1, t1, s1 = self._labels_for_view(img1, pts2d1_np)
-        nocs2, depth2, r2, t2, s2 = self._labels_for_view(img2, pts2d2_np)
+        nocs1, depth1, r1, t1, s1 = self._labels_for_view(img1, pts2d1_np, frames)
+        nocs2, depth2, r2, t2, s2 = self._labels_for_view(img2, pts2d2_np, frames)
 
         def proj(newK, ext):
             P = np.tile(np.eye(4, dtype=np.float32), (len(ext), 1, 1))

@@ -26,7 +26,7 @@ from ...utils.logger import MetricsWriter, get_logger
 def train(overrides=None, steps: int = 2000, img_size: int = 224,
           n_pts: int = 1024, lr: float = 1e-4, save_path: str = "saves/estimator.ckpt",
           dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
-          env=None):
+          env=None, est_overrides: dict | None = None, reuse: int = 8):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -37,14 +37,18 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
     if env is None:
         env = prepare_env(cfg["task"], cfg["dataset"], log=log,
                           seed=cfg.get("seed", 0))
+    # volume settings default to the production eval configs
+    # (cfg/pose_estimator/adapose_*.yaml) so the network trains with the
+    # exact architecture it runs with
     est_cfg = {"name": "adapose_v5", "task_name": cfg["task"]["name"],
                "load": False, "checkpoint_path": "", "img_size": img_size,
                "use_depth": True, "n_pts": n_pts, "direct_regression": True,
-               "real_world": False}
+               "real_world": False, "volume_scale": 2, "warp_mode": "nearest"}
+    est_cfg.update(est_overrides or {})
     est = AdaPoseEstimator(est_cfg, log, dtype=dtype)
     trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
     sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
-                             seed=cfg.get("seed", 0))
+                             seed=cfg.get("seed", 0), reuse=reuse)
     writer = MetricsWriter("logs/estimator")
 
     t0 = time.time()
@@ -73,16 +77,26 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
 
 def main():
     argv = sys.argv[1:]
-    overrides = [a for a in argv if "=" in a and not a.split("=")[0] in
-                 ("steps", "img_size", "n_pts", "lr", "save", "log_every")]
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
-    train(overrides=[o for o in overrides if o.split("=")[0] not in
-                     ("steps", "img_size", "n_pts", "lr", "save")],
+    local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
+             "volume_scale", "warp_mode", "backend", "n_depth",
+             "volume_channels", "reuse")
+    overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
+    est_overrides = {}
+    for k in ("volume_scale", "n_depth", "volume_channels"):
+        if k in kv:
+            est_overrides[k] = int(kv[k])
+    for k in ("warp_mode", "backend"):
+        if k in kv:
+            est_overrides[k] = kv[k]
+    train(overrides=overrides,
           steps=int(kv.get("steps", 2000)),
           img_size=int(kv.get("img_size", 224)),
           n_pts=int(kv.get("n_pts", 1024)),
           lr=float(kv.get("lr", 1e-4)),
-          save_path=kv.get("save", "saves/estimator.ckpt"))
+          save_path=kv.get("save", "saves/estimator.ckpt"),
+          dtype=jnp.bfloat16 if kv.get("bf16", "1") != "0" else jnp.float32,
+          est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)))
 
 
 if __name__ == "__main__":
