@@ -88,3 +88,38 @@ def test_estimator_train_step_decreases_loss():
                                variables.get("batch_stats", {}), lr=3e-4)
     losses = [trainer.step(batch)[0] for _ in range(12)]
     assert np.mean(losses[-3:]) < losses[0], losses
+
+
+def test_replay_buffer_reuses_renders_with_consistent_labels():
+    """With reuse>1 the sampler replays buffered renders (no env round-trip)
+    and labels stay tied to the render-time scene: a reused batch after an
+    env re-randomization must still produce geometrically-bounded NOCS and
+    valid depths (frames captured at render time, data.py)."""
+    from rgbmanip_tpu.models.pose_estimator.data import SimViewSampler
+
+    cfg = load_config(["task=open_cabinet", "task.num_envs=2"])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=3)
+    try:
+        sampler = SimViewSampler(env, img_size=64, n_pts=128, seed=3, reuse=4)
+        b1 = sampler.sample_batch()
+        assert b1 is not None and len(sampler._buffer) == 1
+        # scramble the live scene so stale frames would be caught
+        env.reset()
+        b2 = sampler.sample_batch()       # served from the buffer
+        assert b2 is not None and len(sampler._buffer) == 1
+        nocs = np.asarray(b2["nocs1"])
+        valid = np.asarray(b2["valid"])
+        assert np.abs(nocs).max() <= 1.0 + 1e-5
+        if valid.any():
+            assert np.median(np.abs(nocs[valid])) < 0.6
+            d = np.asarray(b2["depth1"])[valid]
+            assert (d > 0.01).mean() > 0.9
+        # fresh point sampling per reuse: choose indices differ
+        assert not np.array_equal(np.asarray(b1["choose1"]),
+                                  np.asarray(b2["choose1"]))
+        # 5th call re-renders (calls % reuse == 1)
+        sampler.sample_batch(); sampler.sample_batch()
+        b5 = sampler.sample_batch()
+        assert b5 is not None and len(sampler._buffer) == 2
+    finally:
+        env.close()
