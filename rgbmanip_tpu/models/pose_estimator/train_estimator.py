@@ -26,7 +26,8 @@ from ...utils.logger import MetricsWriter, get_logger
 def train(overrides=None, steps: int = 2000, img_size: int = 224,
           n_pts: int = 1024, lr: float = 1e-4, save_path: str = "saves/estimator.ckpt",
           dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
-          env=None, est_overrides: dict | None = None, reuse: int = 8):
+          env=None, est_overrides: dict | None = None, reuse: int = 8,
+          resume: str = ""):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -45,6 +46,8 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
                "use_depth": True, "n_pts": n_pts, "direct_regression": True,
                "real_world": False, "volume_scale": 2, "warp_mode": "nearest"}
     est_cfg.update(est_overrides or {})
+    if resume:
+        est_cfg.update(load=True, checkpoint_path=resume)
     est = AdaPoseEstimator(est_cfg, log, dtype=dtype)
     trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
     sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
@@ -80,7 +83,7 @@ def main():
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
              "volume_scale", "warp_mode", "backend", "n_depth",
-             "volume_channels", "reuse")
+             "volume_channels", "reuse", "resume")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels"):
@@ -96,7 +99,8 @@ def main():
           lr=float(kv.get("lr", 1e-4)),
           save_path=kv.get("save", "saves/estimator.ckpt"),
           dtype=jnp.bfloat16 if kv.get("bf16", "1") != "0" else jnp.float32,
-          est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)))
+          est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)),
+          resume=kv.get("resume", ""))
 
 
 if __name__ == "__main__":
