@@ -150,6 +150,11 @@ def load_urdf(path: str,
     while i < len(order):
         order.extend(sorted(children.get(order[i], [])))
         i += 1
+    if len(order) != len(link_els):
+        missing = sorted(set(link_els) - set(order))
+        raise ValueError(f"urdf {path}: links unreachable from root "
+                         f"{roots[0]!r} (broken parent name or cycle): "
+                         f"{missing}")
 
     spec = ArticulationSpec()
     index: Dict[str, int] = {}
@@ -172,7 +177,8 @@ def load_urdf(path: str,
         jtype = _JOINT_TYPES.get(j.get("type", "fixed"), J_FIXED)
         origin = _origin_pose(j.find("origin"))
         axis_el = j.find("axis")
-        axis = tuple(_floats(axis_el.get("xyz") if axis_el is not None else "0 0 1", 3))
+        # URDF spec: <axis> defaults to (1, 0, 0) when omitted
+        axis = tuple(_floats(axis_el.get("xyz") if axis_el is not None else "1 0 0", 3))
         limit = j.find("limit")
         if j.get("type") == "continuous":
             lo, hi = -2 * np.pi, 2 * np.pi
@@ -183,9 +189,12 @@ def load_urdf(path: str,
             lo = hi = 0.0
         dyn = j.find("dynamics")
         fric = float(dyn.get("friction", 0.0)) if dyn is not None else 0.0
-        st, dp = drive.get(j.get("name", name), (0.0, 0.0))
-        if dp == 0.0 and dyn is not None:
-            dp = float(dyn.get("damping", 0.0))
+        ov = drive.get(j.get("name", name))
+        if ov is not None:
+            st, dp = ov   # explicit caller gains, even (x, 0.0)
+        else:
+            st = 0.0
+            dp = float(dyn.get("damping", 0.0)) if dyn is not None else 0.0
         spec.links.append(LinkSpec(
             name, parent=index[parent_of[name]], joint_type=jtype,
             origin=origin, axis=axis, lo=lo, hi=hi, stiffness=st, damping=dp,

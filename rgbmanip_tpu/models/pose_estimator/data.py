@@ -33,10 +33,14 @@ class SimViewSampler:
 
     def __init__(self, env, img_size: int = 224, n_pts: int = 1024, seed: int = 0,
                  pose_min=(-0.3, -0.3, 0.4), pose_max=(0.3, 0.3, 1.0),
-                 reuse: int = 8, buffer_size: int = 64):
+                 reuse: int = 8, buffer_size: int = 32,
+                 d_min: float = 0.1, d_interval: float = 0.1, n_depth: int = 24):
         self.env = env
         self.img_size = img_size
         self.n_pts = n_pts
+        # depth-hypothesis grid MUST match the estimator the batches train
+        # (the depth head classifies over exactly these bins)
+        self.d_min, self.d_interval, self.n_depth = d_min, d_interval, n_depth
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.pose_min = np.asarray(pose_min)
@@ -125,7 +129,14 @@ class SimViewSampler:
         if img1["Mask"].sum() == 0 or img2["Mask"].sum() == 0:
             return None
         frames = self._part_frames()
-        slim = lambda im: {k: im[k] for k in self._KEEP}
+
+        def slim(im):
+            out = {k: im[k] for k in self._KEEP}
+            # halve the buffer's RAM: RGB precision is immaterial for
+            # training images (Position/Depth keep f32 — they are labels)
+            out["Color"] = np.asarray(im["Color"], np.float16)
+            return out
+
         return (slim(img1), slim(img2), frames)
 
     def sample_batch(self) -> Optional[Dict]:
@@ -148,11 +159,11 @@ class SimViewSampler:
         self.key, k1, k2 = jax.random.split(self.key, 3)
         K = jnp.asarray(img1["Intrinsic"])
         c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
-            jnp.asarray(img1["Color"]), jnp.asarray(img1["Mask"]), K, k1,
-            self.img_size, self.n_pts)
+            jnp.asarray(img1["Color"], jnp.float32), jnp.asarray(img1["Mask"]),
+            K, k1, self.img_size, self.n_pts)
         c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
-            jnp.asarray(img2["Color"]), jnp.asarray(img2["Mask"]), K, k2,
-            self.img_size, self.n_pts)
+            jnp.asarray(img2["Color"], jnp.float32), jnp.asarray(img2["Mask"]),
+            K, k2, self.img_size, self.n_pts)
         ok = np.asarray(ok1 & ok2)
         if not ok.any():
             return None
@@ -173,7 +184,8 @@ class SimViewSampler:
             "choose1": choose1, "choose2": choose2,
             "P1": jnp.asarray(proj(newK1, img1["Extrinsic"])),
             "P2": jnp.asarray(proj(newK2, img2["Extrinsic"])),
-            "depth_values": depth_hypotheses(B),
+            "depth_values": depth_hypotheses(B, self.d_min, self.d_interval,
+                                             self.n_depth),
             "nocs1": jnp.asarray(nocs1), "nocs2": jnp.asarray(nocs2),
             "depth1": jnp.asarray(depth1), "depth2": jnp.asarray(depth2),
             "r1": jnp.asarray(r1), "r2": jnp.asarray(r2),

@@ -89,13 +89,24 @@ def evaluate(overrides=None, checkpoint: str = "saves/estimator_cabinet.ckpt",
 def main():
     argv = sys.argv[1:]
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
-    local = ("checkpoint", "rounds", "img_size", "n_pts")
+    local = ("checkpoint", "rounds", "img_size", "n_pts", "volume_scale",
+             "warp_mode", "backend", "n_depth", "volume_channels")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
+    # architecture knobs must match the checkpoint being evaluated (same
+    # parsing as train_estimator's CLI)
+    est_overrides = {}
+    for k in ("volume_scale", "n_depth", "volume_channels"):
+        if k in kv:
+            est_overrides[k] = int(kv[k])
+    for k in ("warp_mode", "backend"):
+        if k in kv:
+            est_overrides[k] = kv[k]
     evaluate(overrides=overrides,
              checkpoint=kv.get("checkpoint", "saves/estimator_cabinet.ckpt"),
              rounds=int(kv.get("rounds", 12)),
              img_size=int(kv.get("img_size", 224)),
-             n_pts=int(kv.get("n_pts", 1024)))
+             n_pts=int(kv.get("n_pts", 1024)),
+             est_overrides=est_overrides)
 
 
 if __name__ == "__main__":

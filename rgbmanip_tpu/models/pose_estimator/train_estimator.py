@@ -51,7 +51,9 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
     est = AdaPoseEstimator(est_cfg, log, dtype=dtype)
     trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
     sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
-                             seed=cfg.get("seed", 0), reuse=reuse)
+                             seed=cfg.get("seed", 0), reuse=reuse,
+                             d_min=est.d_min, d_interval=est.d_interval,
+                             n_depth=est.n_depth)
     writer = MetricsWriter("logs/estimator")
 
     t0 = time.time()
@@ -60,8 +62,7 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
         batch = sampler.sample_batch()
         if batch is None:
             continue
-        batch.pop("valid")
-        total, parts = trainer.step(batch)
+        total, parts = trainer.step(batch)  # "valid" masks per-env losses
         done += 1
         if done % log_every == 0:
             rate = done / (time.time() - t0)
@@ -100,7 +101,8 @@ def main():
           save_path=kv.get("save", "saves/estimator.ckpt"),
           dtype=jnp.bfloat16 if kv.get("bf16", "1") != "0" else jnp.float32,
           est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)),
-          resume=kv.get("resume", ""))
+          resume=kv.get("resume", ""),
+          log_every=int(kv.get("log_every", 10)))
 
 
 if __name__ == "__main__":

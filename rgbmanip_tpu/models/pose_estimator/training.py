@@ -23,22 +23,35 @@ from .nets.stereo import StereoPoseNetWithDepth
 
 
 def estimator_loss(pred: Dict, labels: Dict, regress_pose: bool = True):
-    """L1 NOCS + smooth-L1 depth + rotation/translation/size regression."""
+    """L1 NOCS + smooth-L1 depth + rotation/translation/size regression.
+
+    Per-env ``labels["valid"]`` (when present) masks out samples whose view
+    pair failed preparation (empty mask in one env of the batch — their
+    labels are degenerate clipped-corner reads, not supervision)."""
+    B = pred["view1_nocs"].shape[0]
+    v = labels.get("valid")
+    w = (jnp.ones(B) if v is None else v.astype(jnp.float32))
+    denom = w.sum() + 1e-9
+
+    def wmean(x):
+        # x: (B, ...) -> valid-weighted mean over everything
+        per = x.reshape(B, -1).mean(axis=1)
+        return (per * w).sum() / denom
+
     losses = {}
-    losses["nocs"] = (jnp.abs(pred["view1_nocs"] - labels["nocs1"]).mean()
-                      + jnp.abs(pred["view2_nocs"] - labels["nocs2"]).mean())
-    d1 = pred["view1_depth"] - labels["depth1"]
-    d2 = pred["view2_depth"] - labels["depth2"]
-    huber = lambda d: jnp.where(jnp.abs(d) < 0.1, 0.5 * d ** 2 / 0.1,
-                                jnp.abs(d) - 0.05).mean()
-    losses["depth"] = huber(d1) + huber(d2)
+    losses["nocs"] = (wmean(jnp.abs(pred["view1_nocs"] - labels["nocs1"]))
+                      + wmean(jnp.abs(pred["view2_nocs"] - labels["nocs2"])))
+    huber = lambda d: wmean(jnp.where(jnp.abs(d) < 0.1, 0.5 * d ** 2 / 0.1,
+                                      jnp.abs(d) - 0.05))
+    losses["depth"] = (huber(pred["view1_depth"] - labels["depth1"])
+                       + huber(pred["view2_depth"] - labels["depth2"]))
     if regress_pose and "r1" in labels:
-        losses["rot"] = (jnp.abs(pred["view1_r"] - labels["r1"]).mean()
-                         + jnp.abs(pred["view2_r"] - labels["r2"]).mean())
-        losses["trans"] = (jnp.abs(pred["view1_t"] - labels["t1"]).mean()
-                           + jnp.abs(pred["view2_t"] - labels["t2"]).mean())
-        losses["size"] = (jnp.abs(pred["view1_s"] - labels["s1"]).mean()
-                          + jnp.abs(pred["view2_s"] - labels["s2"]).mean())
+        losses["rot"] = (wmean(jnp.abs(pred["view1_r"] - labels["r1"]))
+                         + wmean(jnp.abs(pred["view2_r"] - labels["r2"])))
+        losses["trans"] = (wmean(jnp.abs(pred["view1_t"] - labels["t1"]))
+                           + wmean(jnp.abs(pred["view2_t"] - labels["t2"])))
+        losses["size"] = (wmean(jnp.abs(pred["view1_s"] - labels["s1"]))
+                          + wmean(jnp.abs(pred["view2_s"] - labels["s2"])))
     total = (losses["nocs"] + losses["depth"]
              + 0.3 * losses.get("rot", 0.0) + losses.get("trans", 0.0)
              + losses.get("size", 0.0))

@@ -52,13 +52,21 @@ def main():
         "sigma": jnp.ones((T, N, ACT)),
     }
 
-    def one_update(obs):
-        b = dict(batch, obs=obs)
-        params, opt_state, lr, metrics = ppo._update_fn(
-            ppo.params, ppo.opt_state, jnp.float32(3e-4), b)
+    # all tensors (batch, params, opt state) go through jit as parameters:
+    # closure captures become HLO constants that XLA can hoist/fold out of
+    # the timed scan (perfutil.py defense #4)
+    keys = sorted(batch.keys())
+
+    def one_update(obs, params, opt_state, *rest):
+        b = dict(zip(keys, rest))
+        b["obs"] = obs
+        _, _, _, metrics = ppo._update_fn(params, opt_state,
+                                          jnp.float32(3e-4), b)
         return metrics
 
-    ms = scan_bench(one_update, batch["obs"], iters=4, reps=3)
+    rest = [batch[k] for k in keys]
+    ms = scan_bench(one_update, batch["obs"], ppo.params, ppo.opt_state,
+                    *rest, iters=4, reps=3)
     steps = T * N
     print(f"PPO fused update (T={T}, N={N}, 8 epochs x 4 mb): {ms:7.2f} ms "
           f"-> {steps/ms*1e3:9.0f} transitions/s update throughput", flush=True)
