@@ -58,6 +58,7 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.model = StereoPoseNetWithDepth(
             backend=cfg.get("backend", "resnet34"),
             regress_pose=self.direct_regression,
+            backbone_stride=int(cfg.get("backbone_stride", 8)),
             volume_scale=int(cfg.get("volume_scale", 1)),
             warp_mode=cfg.get("warp_mode", "bilinear"),
             stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",

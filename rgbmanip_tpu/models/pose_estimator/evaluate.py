@@ -90,12 +90,13 @@ def main():
     argv = sys.argv[1:]
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     local = ("checkpoint", "rounds", "img_size", "n_pts", "volume_scale",
-             "warp_mode", "backend", "n_depth", "volume_channels")
+             "warp_mode", "backend", "n_depth", "volume_channels",
+             "backbone_stride")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     # architecture knobs must match the checkpoint being evaluated (same
     # parsing as train_estimator's CLI)
     est_overrides = {}
-    for k in ("volume_scale", "n_depth", "volume_channels"):
+    for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
         if k in kv:
             est_overrides[k] = int(kv[k])
     for k in ("warp_mode", "backend"):

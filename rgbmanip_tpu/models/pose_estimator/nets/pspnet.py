@@ -44,6 +44,11 @@ class BasicBlock(nn.Module):
 
 class ResNetFeats(nn.Module):
     layers: Tuple[int, ...] = (3, 4, 6, 3)  # resnet34
+    stride: int = 8   # net stride of the returned features: 8 = reference
+    # (layers 3/4 dilated, pspnet.py:71-76); 16/32 trade dilation back for
+    # strides — 4x/16x fewer FLOPs in the two heaviest stages, for the
+    # TPU-fast configs (trained with the knob on; not checkpoint-compatible
+    # with the reference shapes)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,10 +68,12 @@ class ResNetFeats(nn.Module):
                                name=f"{name}_{i}")(x)
             return x
 
+        s3, d3, s4, d4 = {8: (1, 2, 1, 4), 16: (2, 1, 1, 2),
+                          32: (2, 1, 2, 1)}[self.stride]
         x = stage(x, 64, self.layers[0], 1, 1, "layer1")
         x = stage(x, 128, self.layers[1], 2, 1, "layer2")
-        x = stage(x, 256, self.layers[2], 1, 2, "layer3")
-        x = stage(x, 512, self.layers[3], 1, 4, "layer4")
+        x = stage(x, 256, self.layers[2], s3, d3, "layer3")
+        x = stage(x, 512, self.layers[3], s4, d4, "layer4")
         return x
 
 
@@ -138,12 +145,16 @@ class PSPUpsample(nn.Module):
 class PSPNet(nn.Module):
     backend: str = "resnet34"
     bins: Tuple[int, ...] = (1, 2, 3, 6)
+    backbone_stride: int = 8  # 8 = reference; 16/32 = TPU-fast strided
+    # variants whose output feature map lands at S/(backbone_stride/8)
+    # after the three fixed 2x upsamples
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         layers = (2, 2, 2, 2) if self.backend == "resnet18" else (3, 4, 6, 3)
-        f = ResNetFeats(layers, dtype=self.dtype, name="feats")(x)
+        f = ResNetFeats(layers, stride=self.backbone_stride,
+                        dtype=self.dtype, name="feats")(x)
         p = PSPModule(self.bins, dtype=self.dtype, name="psp")(f)
         p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p)
         p = PSPUpsample(64, dtype=self.dtype, name="up_2")(p)

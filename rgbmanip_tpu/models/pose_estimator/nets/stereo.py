@@ -409,6 +409,11 @@ class StereoPoseNetWithDepth(nn.Module):
     backend: str = "resnet34"
     regress_pose: bool = True
     volume_scale: int = 1
+    backbone_stride: int = 8  # PSPNet net stride: 8 = reference dilated;
+                              # 16/32 = strided fast variants, features at
+                              # S/(backbone_stride/8). NOCS point sampling
+                              # reads the reduced map bilinearly; the volume
+                              # path pools by volume_scale/feat_stride.
     warp_mode: str = "bilinear"
     stereo_fusion: bool = True   # False = no-cross-view ablation (reference
                                  # interface_baseline.py / network_baseline.py)
@@ -427,19 +432,29 @@ class StereoPoseNetWithDepth(nn.Module):
         B, S = v1_img.shape[0], v1_img.shape[1]
         D = depth_values.shape[1]
 
-        psp = PSPNet(backend=self.backend, dtype=self.dtype, name="img_extractor")
-        f1 = psp(v1_img, train)   # (B, S, S, 32)
+        psp = PSPNet(backend=self.backend, backbone_stride=self.backbone_stride,
+                     dtype=self.dtype, name="img_extractor")
+        fs = self.backbone_stride // 8   # feature-map stride wrt S
+        f1 = psp(v1_img, train)   # (B, S/fs, S/fs, 32)
         f2 = psp(v2_img, train)
 
         vs = self.volume_scale
+        if vs % fs != 0:
+            raise ValueError(f"volume_scale {vs} must be a multiple of the "
+                             f"feature stride {fs} (backbone_stride "
+                             f"{self.backbone_stride})")
+        pv = vs // fs            # extra pooling from feature res -> volume res
+        if pv > 1:
+            f1v = nn.avg_pool(f1, (pv, pv), strides=(pv, pv))
+            f2v = nn.avg_pool(f2, (pv, pv), strides=(pv, pv))
+        else:
+            f1v, f2v = f1, f2
         if vs > 1:
-            f1v = nn.avg_pool(f1, (vs, vs), strides=(vs, vs))
-            f2v = nn.avg_pool(f2, (vs, vs), strides=(vs, vs))
             scale_mat = jnp.diag(jnp.array([1.0 / vs, 1.0 / vs, 1.0, 1.0]))
             p1v = jnp.einsum("ij,bjk->bik", scale_mat, v1_proj)
             p2v = jnp.einsum("ij,bjk->bik", scale_mat, v2_proj)
         else:
-            f1v, f2v, p1v, p2v = f1, f2, v1_proj, v2_proj
+            p1v, p2v = v1_proj, v2_proj
         Sv = S // vs
         if self.volume_channels:
             vol_reduce = nn.Conv(self.volume_channels, (1, 1), use_bias=False,
@@ -477,8 +492,8 @@ class StereoPoseNetWithDepth(nn.Module):
         from ....ops.gather import flat_gather, point_sample_matmul
 
         def gather_pts(feat, choose):
-            py = (choose // S).astype(jnp.float32)
-            px = (choose % S).astype(jnp.float32)
+            py = (choose // S).astype(jnp.float32) / fs
+            px = (choose % S).astype(jnp.float32) / fs
             return point_sample_matmul(feat, py, px)
 
         instance_color = MLP1D((64,), final="relu", dtype=self.dtype,

@@ -84,10 +84,10 @@ def main():
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
              "volume_scale", "warp_mode", "backend", "n_depth",
-             "volume_channels", "reuse", "resume")
+             "volume_channels", "backbone_stride", "reuse", "resume")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
-    for k in ("volume_scale", "n_depth", "volume_channels"):
+    for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
         if k in kv:
             est_overrides[k] = int(kv[k])
     for k in ("warp_mode", "backend"):

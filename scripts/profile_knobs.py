@@ -61,6 +61,22 @@ if __name__ == "__main__":
         "vs4": (dict(BASE, volume_scale=4), 16, "volume_scale 4"),
         "reg3d": (dict(BASE, reg_impl="unet3d"), 16, "reg_impl unet3d"),
         "bilin": (dict(BASE, warp_mode="bilinear"), 16, "warp bilinear"),
+        # fast-architecture candidates (strided backbone, coarser volume)
+        "fast32": (dict(BASE, backend="resnet18", backbone_stride=32,
+                        volume_scale=8, n_depth=16, d_interval=0.15), 32,
+                   "fast r18 bs32 vs8 d16"),
+        "fast64": (dict(BASE, backend="resnet18", backbone_stride=32,
+                        volume_scale=8, n_depth=16, d_interval=0.15), 64,
+                   "fast r18 bs32 vs8 d16"),
+        "fast128": (dict(BASE, backend="resnet18", backbone_stride=32,
+                         volume_scale=8, n_depth=16, d_interval=0.15), 128,
+                    "fast r18 bs32 vs8 d16"),
+        "fastv4": (dict(BASE, backend="resnet18", backbone_stride=32,
+                        volume_scale=4, n_depth=16, d_interval=0.15), 32,
+                   "fast r18 bs32 vs4 d16"),
+        "fastr34": (dict(BASE, backbone_stride=32, volume_scale=8,
+                         n_depth=16, d_interval=0.15), 32,
+                    "fast r34 bs32 vs8 d16"),
     }
     for k, (cfg, B, tag) in jobs.items():
         if which in ("all", k):

@@ -84,6 +84,37 @@ def test_network_forward_shapes():
     assert np.abs(np.asarray(out["view1_nocs"])).max() <= 1.0
 
 
+@pytest.mark.parametrize("bs,vs", [(16, 2), (32, 4)])
+def test_network_fast_backbone_strides(bs, vs):
+    """The TPU-fast strided backbone variants (backbone_stride 16/32) keep
+    the full output contract; NOCS points sample the reduced feature map."""
+    from rgbmanip_tpu.models.pose_estimator.nets.stereo import StereoPoseNetWithDepth
+    from rgbmanip_tpu.ops.preprocess import depth_hypotheses
+
+    model = StereoPoseNetWithDepth(backend="resnet18", regress_pose=True,
+                                   backbone_stride=bs, volume_scale=vs,
+                                   warp_mode="nearest")
+    B = 1
+    k = jax.random.PRNGKey(7)
+    args = (jax.random.uniform(k, (B, S, S, 3)),
+            jax.random.randint(k, (B, NPTS), 0, S * S),
+            jax.random.uniform(k, (B, S, S, 3)),
+            jax.random.randint(k, (B, NPTS), 0, S * S),
+            jnp.eye(4)[None], jnp.eye(4)[None], depth_hypotheses(B, n=8))
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    out = model.apply(variables, *args, train=False)
+    assert out["view1_nocs"].shape == (B, NPTS, 3)
+    assert out["view1_depth"].shape == (B, NPTS)
+    R = np.asarray(out["view1_r"][0])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert np.isfinite(np.asarray(out["view1_depth"])).all()
+    # volume_scale must stay a multiple of the feature stride
+    bad = StereoPoseNetWithDepth(backend="resnet18", backbone_stride=32,
+                                 volume_scale=2)
+    with pytest.raises(ValueError, match="multiple of the feature stride"):
+        bad.init(jax.random.PRNGKey(0), *args, train=False)
+
+
 def test_estimator_estimate_api():
     from rgbmanip_tpu.models.pose_estimator.adapose import AdaPoseEstimator, DEFAULT_BBOX
 
