@@ -91,7 +91,7 @@ def main():
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     local = ("checkpoint", "rounds", "img_size", "n_pts", "volume_scale",
              "warp_mode", "backend", "n_depth", "volume_channels",
-             "backbone_stride")
+             "backbone_stride", "d_interval", "d_min")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     # architecture knobs must match the checkpoint being evaluated (same
     # parsing as train_estimator's CLI)
@@ -102,6 +102,9 @@ def main():
     for k in ("warp_mode", "backend"):
         if k in kv:
             est_overrides[k] = kv[k]
+    for k in ("d_interval", "d_min"):
+        if k in kv:
+            est_overrides[k] = float(kv[k])
     evaluate(overrides=overrides,
              checkpoint=kv.get("checkpoint", "saves/estimator_cabinet.ckpt"),
              rounds=int(kv.get("rounds", 12)),

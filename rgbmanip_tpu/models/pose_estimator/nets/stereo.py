@@ -456,6 +456,12 @@ class StereoPoseNetWithDepth(nn.Module):
         else:
             p1v, p2v = v1_proj, v2_proj
         Sv = S // vs
+        if Sv % 8 != 0:
+            raise ValueError(
+                f"volume resolution img_size/volume_scale = {Sv} must be "
+                f"divisible by 8: the cost-regularization U-Net halves the "
+                f"spatial dims three times and its deconvs double exactly, "
+                f"so skip connections only line up at multiples of 8")
         if self.volume_channels:
             vol_reduce = nn.Conv(self.volume_channels, (1, 1), use_bias=False,
                                  dtype=self.dtype, name="volume_reduce")

@@ -84,7 +84,8 @@ def main():
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
              "volume_scale", "warp_mode", "backend", "n_depth",
-             "volume_channels", "backbone_stride", "reuse", "resume")
+             "volume_channels", "backbone_stride", "d_interval", "d_min",
+             "reuse", "resume")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -93,6 +94,9 @@ def main():
     for k in ("warp_mode", "backend"):
         if k in kv:
             est_overrides[k] = kv[k]
+    for k in ("d_interval", "d_min"):
+        if k in kv:
+            est_overrides[k] = float(kv[k])
     train(overrides=overrides,
           steps=int(kv.get("steps", 2000)),
           img_size=int(kv.get("img_size", 224)),

@@ -332,12 +332,15 @@ struct EnvSim {
     *er = Vec3{qe.x, qe.y, qe.z}.normalized() * ang;
   }
 
-  // One DLS descent from the current r.q; returns final weighted error.
+  // One DLS descent from the current r.q; leaves r.q at the BEST config
+  // seen (the descent can oscillate near singular/limit configs — the
+  // final iterate is not necessarily the best) and returns its error.
   double ik_descend(const Pose& target_world, int max_iters, double damping,
                     double pos_tol, double rot_tol) {
     Articulation& r = robot();
     double lambda = damping;
     double best_err = 1e18;
+    std::vector<double> best_q(r.q.begin(), r.q.begin() + n_arm);
     for (int it = 0; it < max_iters; it++) {
       r.fk();
       Pose cur = r.link_pose[ee_link];
@@ -345,8 +348,11 @@ struct EnvSim {
       ik_errors(target_world, cur, &ep, &er);
       double err = ep.norm() + 0.3 * er.norm();
       if (ep.norm() < pos_tol && er.norm() < rot_tol) return err;
-      if (err < best_err) { best_err = err; lambda = std::max(lambda * 0.8, 1e-3); }
-      else lambda = std::min(lambda * 1.6, 0.5);
+      if (err < best_err) {
+        best_err = err;
+        for (int d = 0; d < n_arm; d++) best_q[d] = r.q[d];
+        lambda = std::max(lambda * 0.8, 1e-3);
+      } else lambda = std::min(lambda * 1.6, 0.5);
       double J[6][7];
       for (int d = 0; d < n_arm; d++) {
         const Link& l = r.links[r.dof_links[d]];
@@ -380,10 +386,16 @@ struct EnvSim {
       }
     }
     r.fk();
-    Pose cur = r.link_pose[ee_link];
-    Vec3 ep, er;
-    ik_errors(target_world, cur, &ep, &er);
-    return ep.norm() + 0.3 * er.norm();
+    {
+      Pose cur = r.link_pose[ee_link];
+      Vec3 ep, er;
+      ik_errors(target_world, cur, &ep, &er);
+      double err = ep.norm() + 0.3 * er.norm();
+      if (err < best_err) return err;
+    }
+    for (int d = 0; d < n_arm; d++) r.q[d] = best_q[d];
+    r.fk();
+    return best_err;
   }
 
   bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
@@ -394,7 +406,16 @@ struct EnvSim {
     std::vector<double> q_save = r.q;
     if (q_init) for (int i = 0; i < n_arm; i++) r.q[i] = q_init[i];
     std::vector<double> best_q(r.q.begin(), r.q.begin() + n_arm);
-    double best = 1e18;
+    double best_ep = 1e18, best_er = 1e18;
+
+    auto errs_at = [&](double* ep_n, double* er_n) {
+      Pose cur = r.link_pose[ee_link];
+      Vec3 ep, er;
+      ik_errors(target_world, cur, &ep, &er);
+      *ep_n = ep.norm();
+      *er_n = er.norm();
+    };
+
     std::uniform_real_distribution<double> uni(0, 1);
     for (int attempt = 0; attempt <= restarts; attempt++) {
       if (attempt > 0) {
@@ -403,19 +424,30 @@ struct EnvSim {
           r.q[d] = l.lo + (l.hi - l.lo) * uni(rng);
         }
       }
-      double err = ik_descend(target_world, max_iters, damping, pos_tol, rot_tol);
-      if (err < best) {
-        best = err;
+      ik_descend(target_world, max_iters, damping, pos_tol, rot_tol);
+      double ep_n, er_n;
+      errs_at(&ep_n, &er_n);
+      // The seeded descent (attempt 0) is the baseline — for grasp targets
+      // whose exact orientation is unreachable it converges to
+      // position-right/rotation-compromised, which the symmetric gripper
+      // tolerates (and which matches the reference's CLIK-from-current-q
+      // behavior, env/sapien_envs/osc_planner.py:14-26). A random-restart
+      // solution may only replace it when it is better in BOTH components;
+      // otherwise restarts trade position error for rotation error and
+      // teleport the hand half a meter from the handle.
+      if (attempt == 0 || (ep_n < best_ep && er_n < best_er)) {
+        best_ep = ep_n;
+        best_er = er_n;
         for (int d = 0; d < n_arm; d++) best_q[d] = r.q[d];
       }
-      if (best < pos_tol + 0.3 * rot_tol) break;
+      if (best_ep < pos_tol && best_er < rot_tol) break;
       // restore the seed for the next attempt's sampling baseline
       for (int i = 0; i < n_arm; i++) r.q[i] = q_save[i];
     }
     for (int i = 0; i < n_arm; i++) q_out[i] = best_q[i];
     r.q = q_save;
     r.fk();
-    return best < pos_tol + 0.3 * rot_tol;
+    return best_ep + 0.3 * best_er < pos_tol + 0.3 * rot_tol;
   }
 
   // Gripper contact spheres (palm + finger pads) against the object's

@@ -61,22 +61,25 @@ if __name__ == "__main__":
         "vs4": (dict(BASE, volume_scale=4), 16, "volume_scale 4"),
         "reg3d": (dict(BASE, reg_impl="unet3d"), 16, "reg_impl unet3d"),
         "bilin": (dict(BASE, warp_mode="bilinear"), 16, "warp bilinear"),
-        # fast-architecture candidates (strided backbone, coarser volume)
-        "fast32": (dict(BASE, backend="resnet18", backbone_stride=32,
-                        volume_scale=8, n_depth=16, d_interval=0.15), 32,
-                   "fast r18 bs32 vs8 d16"),
-        "fast64": (dict(BASE, backend="resnet18", backbone_stride=32,
-                        volume_scale=8, n_depth=16, d_interval=0.15), 64,
-                   "fast r18 bs32 vs8 d16"),
-        "fast128": (dict(BASE, backend="resnet18", backbone_stride=32,
-                         volume_scale=8, n_depth=16, d_interval=0.15), 128,
-                    "fast r18 bs32 vs8 d16"),
+        # fast-architecture candidates (strided backbone, coarser volume).
+        # Constraint chain: volume_scale % (backbone_stride/8) == 0, the cost
+        # U-Net needs Sv = img_size/volume_scale divisible by 8, n_depth % 8
+        # == 0 -> img_size 192 with vs=8 gives Sv=24.
+        "fast192": (dict(BASE, img_size=192, backend="resnet18",
+                         backbone_stride=32, volume_scale=8, n_depth=16,
+                         d_interval=0.15), 32, "fast192 r18 bs32 vs8 d16"),
+        "fast192b128": (dict(BASE, img_size=192, backend="resnet18",
+                             backbone_stride=32, volume_scale=8, n_depth=16,
+                             d_interval=0.15), 128, "fast192 r18 bs32 vs8 d16"),
+        "fast192b256": (dict(BASE, img_size=192, backend="resnet18",
+                             backbone_stride=32, volume_scale=8, n_depth=16,
+                             d_interval=0.15), 256, "fast192 r18 bs32 vs8 d16"),
         "fastv4": (dict(BASE, backend="resnet18", backbone_stride=32,
                         volume_scale=4, n_depth=16, d_interval=0.15), 32,
                    "fast r18 bs32 vs4 d16"),
-        "fastr34": (dict(BASE, backbone_stride=32, volume_scale=8,
-                         n_depth=16, d_interval=0.15), 32,
-                    "fast r34 bs32 vs8 d16"),
+        "fast128px": (dict(BASE, img_size=128, backend="resnet18",
+                           backbone_stride=32, volume_scale=4, n_depth=16,
+                           d_interval=0.15), 128, "fast128px r18 bs32 vs4 d16"),
     }
     for k, (cfg, B, tag) in jobs.items():
         if which in ("all", k):
