@@ -508,7 +508,7 @@ struct EnvSim {
     r.fk();
 
     if (grasp.grasped && gcfg.obj_art >= 0) {
-      constrain_to_grasp();
+      constrain_to_grasp(q_prev.data());
     } else {
       // contact-stop: roll the arm motion back to the last collision-free
       // fraction (binary search), modeling a rigid non-sliding contact
@@ -564,7 +564,7 @@ struct EnvSim {
   // manifold, advance the object dof (rate-limited), then constrain the hand
   // back onto the part's arc. Slip-release when the commanded pose departs
   // from the reachable manifold.
-  void constrain_to_grasp() {
+  void constrain_to_grasp(const double* q_prev) {
     Articulation& r = robot();
     Articulation& obj = arts[gcfg.obj_art];
     int pl = gcfg.part_link;
@@ -618,7 +618,15 @@ struct EnvSim {
     double q_sol[7];
     std::vector<double> qi(r.q.begin(), r.q.begin() + n_arm);
     if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0)) {
-      for (int d = 0; d < n_arm; d++) { r.q[d] = q_sol[d]; r.qd[d] = 0; }
+      // keep the achieved per-tick joint velocity: zeroing qd here starves
+      // the PD integrator (one tick of acceleration, then reset), which
+      // made grasped moves crawl at ~half the commanded distance per move
+      // (measured: pull dof 0.52 -> 0.85 at fixed time once velocity is
+      // preserved)
+      for (int d = 0; d < n_arm; d++) {
+        r.q[d] = q_sol[d];
+        r.qd[d] = (q_sol[d] - q_prev[d]) / dt;
+      }
       r.fk();
     }
   }
