@@ -455,6 +455,89 @@ struct EnvSim {
   // presses into the door/body — the reference relies on PhysX contact for
   // its closed-loop "advance until blocked" grasp
   // (models/manipulation/open_cabinet.py:51-68).
+  // True when any contact sphere touches a collision shape of the grasp
+  // part's link subtree (the movable door/drawer/lid), as opposed to the
+  // static body. Used to decide whether a blocked push should drag the
+  // part's joint along (PhysX moves the part under push contact in the
+  // reference; our contact-stop alone could only halt the arm, capping the
+  // close_* push skills at the episodes that start nearly closed).
+  bool gripper_contact_part() {
+    if (gcfg.obj_art < 0 || gcfg.part_link < 0) return false;
+    Articulation& r = robot();
+    Pose h = r.link_pose[ee_link];
+    int nl = (int)r.links.size();
+    struct GS { Vec3 p; double radius; };
+    GS sph[3] = {
+        {h.apply({0, 0, 0.033}), 0.042},
+        {r.link_pose[nl - 2].apply({0, 0.0105, 0.0265}), 0.018},
+        {r.link_pose[nl - 1].apply({0, -0.0105, 0.0265}), 0.018},
+    };
+    const Articulation& obj = arts[gcfg.obj_art];
+    // part subtree membership
+    std::vector<char> in_part(obj.links.size(), 0);
+    for (size_t li = 0; li < obj.links.size(); li++) {
+      int a = (int)li;
+      while (a >= 0) {
+        if (a == gcfg.part_link) { in_part[li] = 1; break; }
+        a = obj.links[a].parent;
+      }
+    }
+    for (size_t li = 0; li < obj.links.size(); li++) {
+      if (!in_part[li]) continue;
+      for (const Shape& s : obj.links[li].shapes) {
+        if (!s.collide) continue;
+        Vec3 hh = s.kind == S_BOX ? s.params
+                : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
+                : Vec3{s.params.x, s.params.x, s.params.y};
+        Pose sp = obj.link_pose[li] * s.local;
+        for (const GS& g : sph) {
+          Vec3 l = sp.apply_inv(g.p);
+          Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
+                  std::max(-hh.y, std::min(hh.y, l.y)),
+                  std::max(-hh.z, std::min(hh.z, l.z))};
+          if ((l - cl).norm() < g.radius) return true;
+        }
+      }
+    }
+    return false;
+  }
+
+  // Project a hand displacement onto the part's joint coordinate (shared by
+  // the grasp constraint and push-coupling). Returns the per-tick capped dq.
+  double project_hand_motion_to_part_dof(const Vec3& anchor_now,
+                                         const Vec3& anchor_des, int* dof_idx_out) {
+    Articulation& obj = arts[gcfg.obj_art];
+    int dof_link = gcfg.part_link, dof_idx = -1;
+    while (dof_link >= 0) {
+      if (obj.links[dof_link].dof_index >= 0) {
+        dof_idx = obj.links[dof_link].dof_index;
+        break;
+      }
+      dof_link = obj.links[dof_link].parent;
+    }
+    *dof_idx_out = dof_idx;
+    if (dof_idx < 0) return 0.0;
+    const Link& jl = obj.links[obj.dof_links[dof_idx]];
+    const Pose& jlp = obj.link_pose[obj.dof_links[dof_idx]];
+    Vec3 aw = jlp.q.rotate(jl.axis);
+    double dq = 0;
+    if (jl.joint_type == J_PRISMATIC) {
+      dq = (anchor_des - anchor_now).dot(aw);
+      double mx = gcfg.max_vel_prism * dt;
+      dq = std::max(-mx, std::min(mx, dq));
+    } else {
+      Vec3 c = jlp.p;
+      Vec3 v0 = anchor_now - c; v0 = v0 - aw * v0.dot(aw);
+      Vec3 v1 = anchor_des - c; v1 = v1 - aw * v1.dot(aw);
+      if (v0.norm() > 1e-6 && v1.norm() > 1e-6) {
+        dq = std::atan2(aw.dot(v0.cross(v1)), v0.dot(v1));
+        double mx = gcfg.max_vel_rev * dt;
+        dq = std::max(-mx, std::min(mx, dq));
+      }
+    }
+    return dq;
+  }
+
   bool gripper_contact() {
     if (gcfg.obj_art < 0) return false;
     Articulation& r = robot();
@@ -490,6 +573,7 @@ struct EnvSim {
   void step() {
     Articulation& r = robot();
     std::vector<double> q_prev(r.q.begin(), r.q.begin() + n_arm);
+    Pose hand_prev = r.link_pose[ee_link];  // pose at q_prev (last fk)
     // arm: PD with gravity compensation baked in
     for (int d = 0; d < n_arm; d++) {
       const Link& l = r.links[r.dof_links[d]];
@@ -513,6 +597,30 @@ struct EnvSim {
       // contact-stop: roll the arm motion back to the last collision-free
       // fraction (binary search), modeling a rigid non-sliding contact
       if (gripper_contact()) {
+        // push-coupling: contact with the MOVABLE part drags its joint
+        // along the attempted hand motion (the close_* skills shut
+        // doors/drawers by pushing, and handle presses during approach
+        // nudge the part — both are plain contact physics in the
+        // reference's PhysX, models/manipulation/close_cabinet.py)
+        if (gripper_contact_part()) {
+          Articulation& obj = arts[gcfg.obj_art];
+          int di;
+          double dq = project_hand_motion_to_part_dof(
+              hand_prev.p, r.link_pose[ee_link].p, &di);
+          if (di >= 0 && dq != 0.0) {
+            obj.q[di] += dq;
+            obj.qd[di] = dq / dt;
+            obj.clamp_limits();
+            obj.fk();
+          }
+        }
+        if (!gripper_contact()) {
+          // the part yielded fully: no stop needed this tick
+          passive_object_step();
+          if (r.dof() > n_arm && r.target[n_arm] < 0.015) try_engage_grasp();
+          step_count++;
+          return;
+        }
         std::vector<double> q_new(r.q.begin(), r.q.begin() + n_arm);
         double good = 0.0, bad = 1.0;
         for (int it = 0; it < 6; it++) {
@@ -568,12 +676,6 @@ struct EnvSim {
     Articulation& r = robot();
     Articulation& obj = arts[gcfg.obj_art];
     int pl = gcfg.part_link;
-    // the dof that moves the part: nearest movable ancestor of part_link
-    int dof_link = pl, dof_idx = -1;
-    while (dof_link >= 0) {
-      if (obj.links[dof_link].dof_index >= 0) { dof_idx = obj.links[dof_link].dof_index; break; }
-      dof_link = obj.links[dof_link].parent;
-    }
     Pose desired_hand = r.link_pose[ee_link];  // where the PD dynamics put the hand
     // anchor: grip center expressed in part frame at grasp time is implied by
     // rel_ph; track the hand origin (equivalently rigid) for the projection
@@ -581,30 +683,15 @@ struct EnvSim {
     Vec3 anchor_now = (part_now * grasp.rel_ph).p;
     Vec3 anchor_des = desired_hand.p;
 
-    if (dof_idx >= 0) {
-      const Link& jl = obj.links[obj.dof_links[dof_idx]];
-      const Pose& jlp = obj.link_pose[obj.dof_links[dof_idx]];
-      Vec3 aw = jlp.q.rotate(jl.axis);
-      double dq = 0;
-      if (jl.joint_type == J_PRISMATIC) {
-        dq = (anchor_des - anchor_now).dot(aw);
-        double mx = gcfg.max_vel_prism * dt;
-        dq = std::max(-mx, std::min(mx, dq));
-      } else {
-        // joint axis passes through the joint frame origin
-        Vec3 c = jlp.p;
-        Vec3 v0 = anchor_now - c; v0 = v0 - aw * v0.dot(aw);
-        Vec3 v1 = anchor_des - c; v1 = v1 - aw * v1.dot(aw);
-        if (v0.norm() > 1e-6 && v1.norm() > 1e-6) {
-          dq = std::atan2(aw.dot(v0.cross(v1)), v0.dot(v1));
-          double mx = gcfg.max_vel_rev * dt;
-          dq = std::max(-mx, std::min(mx, dq));
-        }
+    {
+      int di;
+      double dq = project_hand_motion_to_part_dof(anchor_now, anchor_des, &di);
+      if (di >= 0) {
+        obj.q[di] += dq;
+        obj.qd[di] = dq / dt;
+        obj.clamp_limits();
+        obj.fk();
       }
-      obj.q[dof_idx] += dq;
-      obj.qd[dof_idx] = dq / dt;
-      obj.clamp_limits();
-      obj.fk();
     }
 
     // constrain the hand onto the part
