@@ -42,13 +42,18 @@ class CloseCabinetManipulation(BaseManipulation):
         self.env.hand_move_to(grasp_pose, time=2, wait=1, planner="ik")
         self.env.class_method("toggle_gripper", open=False)
 
-        # push along +approach to close
+        # Push along +approach to close. The gripper keeps FACING the door
+        # (next_z = +cur_dir): the reference's close skill reuses the pull
+        # loop's next_z = -cur_dir (close_cabinet.py:66-67), which for a push
+        # flips the hand 180 deg away from the grasp orientation mid-hold and
+        # breaks it — a deliberate behavioral fix (the reference records no
+        # close-task numbers).
         cur_dir = pre_grasp_axis
         for step_size in self.cfg["step_sizes"]:
             cur_p = self.env.gripper_pose()[:, :3]
             pred_p = cur_p + cur_dir * step_size
             next_x = self.GRIP_X_SIGN * z_
-            next_z = -cur_dir
+            next_z = cur_dir
             next_y = np.cross(next_z, next_x)
             pred_q = batch_frame_quats(next_x, next_y, next_z)
             pred_pose = np.concatenate([pred_p, pred_q], axis=-1)

@@ -434,8 +434,11 @@ struct EnvSim {
       // behavior, env/sapien_envs/osc_planner.py:14-26). A random-restart
       // solution may only replace it when it is better in BOTH components;
       // otherwise restarts trade position error for rotation error and
-      // teleport the hand half a meter from the handle.
-      if (attempt == 0 || (ep_n < best_ep && er_n < best_er)) {
+      // teleport the hand half a meter from the handle. A restart that fully
+      // converges (both components inside tolerance) is always accepted —
+      // it is a valid solution regardless of how the baseline's errors split.
+      bool converged = ep_n < pos_tol && er_n < rot_tol;
+      if (attempt == 0 || converged || (ep_n < best_ep && er_n < best_er)) {
         best_ep = ep_n;
         best_er = er_n;
         for (int d = 0; d < n_arm; d++) best_q[d] = r.q[d];
@@ -461,7 +464,11 @@ struct EnvSim {
   // part's joint along (PhysX moves the part under push contact in the
   // reference; our contact-stop alone could only halt the arm, capping the
   // close_* push skills at the episodes that start nearly closed).
-  bool gripper_contact_part() {
+  // If normal_out is non-null it receives the world-frame outward surface
+  // normal of the deepest gripper/part contact (pointing from the part
+  // surface toward the gripper sphere center) — used to gate push-coupling
+  // on the hand actually moving INTO the part.
+  bool gripper_contact_part(Vec3* normal_out = nullptr) {
     if (gcfg.obj_art < 0 || gcfg.part_link < 0) return false;
     Articulation& r = robot();
     Pose h = r.link_pose[ee_link];
@@ -482,6 +489,8 @@ struct EnvSim {
         a = obj.links[a].parent;
       }
     }
+    bool any = false;
+    double best_pen = -1e18;
     for (size_t li = 0; li < obj.links.size(); li++) {
       if (!in_part[li]) continue;
       for (const Shape& s : obj.links[li].shapes) {
@@ -495,11 +504,31 @@ struct EnvSim {
           Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
                   std::max(-hh.y, std::min(hh.y, l.y)),
                   std::max(-hh.z, std::min(hh.z, l.z))};
-          if ((l - cl).norm() < g.radius) return true;
+          double d = (l - cl).norm();
+          if (d < g.radius) {
+            any = true;
+            if (!normal_out) return true;
+            double pen = g.radius - d;
+            if (pen > best_pen) {
+              best_pen = pen;
+              Vec3 n_local;
+              if (d > 1e-9) {
+                n_local = (l - cl) * (1.0 / d);
+              } else {
+                // center inside the box: outward along the nearest face
+                double dx = hh.x - std::fabs(l.x), dy = hh.y - std::fabs(l.y),
+                       dz = hh.z - std::fabs(l.z);
+                if (dx <= dy && dx <= dz) n_local = {l.x >= 0 ? 1.0 : -1.0, 0, 0};
+                else if (dy <= dz)        n_local = {0, l.y >= 0 ? 1.0 : -1.0, 0};
+                else                      n_local = {0, 0, l.z >= 0 ? 1.0 : -1.0};
+              }
+              *normal_out = sp.q.rotate(n_local);
+            }
+          }
         }
       }
     }
-    return false;
+    return any;
   }
 
   // Project a hand displacement onto the part's joint coordinate (shared by
@@ -602,7 +631,13 @@ struct EnvSim {
         // doors/drawers by pushing, and handle presses during approach
         // nudge the part — both are plain contact physics in the
         // reference's PhysX, models/manipulation/close_cabinet.py)
-        if (gripper_contact_part()) {
+        Vec3 cn{0, 0, 0};
+        Vec3 hand_d = r.link_pose[ee_link].p - hand_prev.p;
+        // Only couple when the hand displacement pushes INTO the contacted
+        // part surface (d · outward-normal < 0); a sliding or retreating
+        // hand whose spheres still overlap must not drag the part with it
+        // (contact can only push, never pull).
+        if (gripper_contact_part(&cn) && hand_d.dot(cn) < -1e-9) {
           Articulation& obj = arts[gcfg.obj_art];
           int di;
           double dq = project_hand_motion_to_part_dof(
@@ -677,11 +712,13 @@ struct EnvSim {
     Articulation& obj = arts[gcfg.obj_art];
     int pl = gcfg.part_link;
     Pose desired_hand = r.link_pose[ee_link];  // where the PD dynamics put the hand
-    // anchor: grip center expressed in part frame at grasp time is implied by
-    // rel_ph; track the hand origin (equivalently rigid) for the projection
+    // anchor: the GRIP CENTER (finger pads on the handle) is the rigid
+    // attachment point — the wrist is free to pivot about the handle, so the
+    // hand origin is not rigid in the part frame
+    const Vec3 grip_local{0, 0, 0.105};
     Pose part_now = obj.link_pose[pl];
-    Vec3 anchor_now = (part_now * grasp.rel_ph).p;
-    Vec3 anchor_des = desired_hand.p;
+    Vec3 anchor_now = (part_now * grasp.rel_ph).apply(grip_local);
+    Vec3 anchor_des = desired_hand.apply(grip_local);
 
     {
       int di;
@@ -694,11 +731,52 @@ struct EnvSim {
       }
     }
 
-    // constrain the hand onto the part
-    Pose constrained_hand = obj.link_pose[pl] * grasp.rel_ph;
-    double residual = (constrained_hand.p - desired_hand.p).norm();
+    // Constrain the hand onto the part. A pinch grip on a cylindrical
+    // handle is a revolute pairing, not a weld: the gripper can rotate
+    // freely about the handle's long axis (hand-frame x). Holding the full
+    // grasp-time orientation rigid forces the wrist through unreachable
+    // orientations as the door swings (measured: deep 45-deg pulls stall at
+    // obj_q ~0.4 when the constraint IK leaves the arm's workspace, then
+    // release). Take the rigid pose, then add the twist about the handle
+    // axis that best matches where the arm's dynamics actually put the
+    // hand, pivoting about the grip center.
+    Pose rigid = obj.link_pose[pl] * grasp.rel_ph;
+    Vec3 axis_w = rigid.q.rotate({1, 0, 0});
+    Quat qrel = (desired_hand.q * rigid.q.conj()).normalized();
+    if (qrel.w < 0) qrel = {-qrel.w, -qrel.x, -qrel.y, -qrel.z};
+    double proj = qrel.x * axis_w.x + qrel.y * axis_w.y + qrel.z * axis_w.z;
+    Quat twist{qrel.w, axis_w.x * proj, axis_w.y * proj, axis_w.z * proj};
+    double tn = std::sqrt(twist.w * twist.w + proj * proj);
+    Pose constrained_hand = rigid;
+    if (tn > 1e-9) {
+      twist = {twist.w / tn, twist.x / tn, twist.y / tn, twist.z / tn};
+      Vec3 grip_w = rigid.apply(grip_local);
+      constrained_hand.q = (twist * rigid.q).normalized();
+      constrained_hand.p = grip_w - constrained_hand.q.rotate(grip_local);
+    }
+    // Slip bookkeeping uses only the residual components the jaws can
+    // actually slide along: z (handle pulling out of the jaws toward the
+    // fingertips) and x (sliding along the handle length). The y component
+    // is the clamp direction — the handle is squeezed between the pads and
+    // cannot escape that way, so lateral arm-tracking lag must not release
+    // the grip (measured: deep 45-deg pulls released at |res| ~0.075
+    // dominated by y, halfway through the pull).
+    Vec3 res_w = constrained_hand.p - desired_hand.p;
+    Vec3 res_h = desired_hand.q.conj().rotate(res_w);
+    double residual = std::sqrt(res_h.x * res_h.x + res_h.z * res_h.z);
     if (residual > gcfg.slip_dist) {
-      if (++grasp.slip_count >= gcfg.slip_steps) { release_grasp(); return; }
+      if (++grasp.slip_count >= gcfg.slip_steps) {
+        static const bool dbg = std::getenv("SC_SLIP_DEBUG") != nullptr;
+        if (dbg) {
+          Vec3 res = constrained_hand.p - desired_hand.p;
+          Vec3 rl = desired_hand.q.conj().rotate(res);
+          fprintf(stderr, "[slip] residual %.3f hand-frame (%.3f %.3f %.3f) "
+                  "obj_q %.3f\n", residual, rl.x, rl.y, rl.z,
+                  obj.q.empty() ? 0.0 : obj.q[0]);
+        }
+        release_grasp();
+        return;
+      }
     } else {
       grasp.slip_count = 0;
     }
@@ -768,7 +846,8 @@ static bool sphere_obb_hit(const Vec3& c, double r, const Obb& b) {
   return (l - cl).norm() < r;
 }
 
-static bool config_in_collision(PlanContext& ctx, const double* q7) {
+static bool config_in_collision(PlanContext& ctx, const double* q7,
+                                int* hit_link = nullptr, int* hit_obs = nullptr) {
   Articulation& r = ctx.env->robot();
   std::vector<double> save = r.q;
   for (int i = 0; i < ctx.env->n_arm; i++) r.q[i] = q7[i];
@@ -776,9 +855,19 @@ static bool config_in_collision(PlanContext& ctx, const double* q7) {
   bool hit = false;
   for (const CollSphere& s : ctx.rob_spheres) {
     Vec3 c = r.link_pose[s.link].apply(s.local);
-    if (c.z - s.r < ctx.ground_z + 0.005 && s.link > 1) { hit = true; break; }
-    for (const Obb& b : ctx.obstacles)
-      if (sphere_obb_hit(c, s.r, b)) { hit = true; break; }
+    if (c.z - s.r < ctx.ground_z + 0.005 && s.link > 1) {
+      hit = true;
+      if (hit_link) { *hit_link = s.link; }
+      if (hit_obs) { *hit_obs = -1; }  // ground
+      break;
+    }
+    for (size_t bi = 0; bi < ctx.obstacles.size(); bi++)
+      if (sphere_obb_hit(c, s.r, ctx.obstacles[bi])) {
+        hit = true;
+        if (hit_link) { *hit_link = s.link; }
+        if (hit_obs) { *hit_obs = (int)bi; }
+        break;
+      }
     if (hit) break;
   }
   r.q = save;
@@ -1133,26 +1222,43 @@ static void build_obstacles(EnvSim& e, bool use_wall, PlanContext* ctx) {
   }
   if (use_wall && e.gcfg.obj_art >= 0) {
     Vec3 mn, mx;
-    if (e.part_local_aabb(e.gcfg.obj_art, e.gcfg.part_link, e.gcfg.grasp_visual_id,
-                          &mn, &mx)) {
+    // whole-part AABB (vid=-1): the wall spans the door/drawer front face,
+    // not just the handle
+    if (e.part_local_aabb(e.gcfg.obj_art, e.gcfg.part_link, -1, &mn, &mx)) {
       Articulation& obj = e.arts[e.gcfg.obj_art];
       Pose part = obj.link_pose[e.gcfg.part_link];
       Pose wall_local{{(mn.x + mx.x) / 2, (mn.y + mx.y) / 2, (mn.z + mx.z) / 2}, Quat{}};
       Pose wall = part * wall_local;
-      // offset slightly behind the handle (away from the robot): the wall is
-      // the door plane that keeps the RRT from sweeping the arm through the
-      // front of the object, while leaving the approach corridor free
+      // The wall is the part's face plane, extended: it keeps the RRT from
+      // sweeping the arm through the front of the object while leaving the
+      // approach corridor free. Orient it IN THE PART FRAME along the part
+      // AABB's thinnest axis (the door/drawer-front thickness direction) so
+      // it tracks the part plane at any opening angle — a robot-direction
+      // wall swallows the pre-grasp goal once the door swings open, failing
+      // every approach plan. (Reference base_manipulation.py:495-538 builds
+      // its wall from the handle frame for the same reason.)
+      Vec3 dims{mx.x - mn.x, mx.y - mn.y, mx.z - mn.z};
+      int ti = 0;
+      if (dims.y <= dims.x && dims.y <= dims.z) ti = 1;
+      else if (dims.z <= dims.x && dims.z <= dims.y) ti = 2;
+      Vec3 tl{ti == 0 ? 1.0 : 0.0, ti == 1 ? 1.0 : 0.0, ti == 2 ? 1.0 : 0.0};
+      Vec3 wx = part.q.rotate(tl);
+      // thin axis pointing toward the robot; nudge the wall slightly behind
+      // the handle (away from the robot)
       Vec3 toward = (e.robot().root.p - wall.p);
-      toward.z = 0;
-      toward = toward.normalized();
-      wall.p += toward * -0.02;
-      // orient the thin axis along `toward`
-      Vec3 wx = toward;
-      Vec3 wy = Vec3{0, 0, 1}.cross(wx).normalized();
-      if (wy.norm() < 0.5) wy = {0, 1, 0};
-      Vec3 wz = wx.cross(wy);
-      wall.q = quat_from_cols(wx, wy, wz);
-      ctx->obstacles.push_back({wall, Vec3{0.005, 0.8, 0.8}});
+      if (wx.dot(toward) < 0) wx = wx * -1.0;
+      wall.p += wx * -0.02;
+      // in-plane half-extents follow the part's own size (+10 cm margin):
+      // the real object shapes are already obstacles, so the wall only has
+      // to stop the arm from threading tightly around the part's edges — a
+      // fixed 1.6 m plane on a wide-open door slices through the arm's
+      // whole workspace and makes every approach goal "in collision"
+      double he[3];
+      for (int k = 0; k < 3; k++) he[k] = dims[k] * 0.5 + 0.1;
+      he[ti] = 0.005;
+      wall.q = part.q;  // wall axes = part frame (thin axis is local axis ti)
+      // keep the -0.02 nudge along the world thin axis applied above
+      ctx->obstacles.push_back({wall, Vec3{he[0], he[1], he[2]}});
     }
   }
 }
@@ -1427,19 +1533,41 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       for (int s = 0; s < wait_steps; s++) e.step();
     };
 
+    static const bool plan_debug = std::getenv("SC_PLAN_DEBUG") != nullptr;
     PlanContext ctx;
     build_obstacles(e, use_wall != 0, &ctx);
+    // The wall is a virtual planning aid, not real geometry. If the CURRENT
+    // config already "collides" with it (e.g. the arm sits in front of a
+    // wide-open door whose face plane sweeps the workspace), planning from
+    // an invalid start would always fail — drop the wall rather than
+    // bulldoze through the real object with the ik fallback.
+    {
+      std::vector<double> qcur(r.q.begin(), r.q.begin() + e.n_arm);
+      if (use_wall && config_in_collision(ctx, qcur.data())) {
+        PlanContext nowall;
+        build_obstacles(e, false, &nowall);
+        if (!config_in_collision(nowall, qcur.data())) ctx = nowall;
+      }
+    }
     // collision-aware goal selection: retry IK until the goal config is
     // collision-free (mplib's plan() does IK + validity internally)
     double goal[7];
     std::vector<double> q0(r.q.begin(), r.q.begin() + e.n_arm);
-    bool goal_ok = false;
+    bool goal_ok = false, ik_ok = false;
     for (int attempt = 0; attempt < 4 && !goal_ok; attempt++) {
       if (!e.dls_ik(target, attempt == 0 ? q0.data() : nullptr, goal, 200, 0.08, 1e-4))
         continue;
+      ik_ok = true;
       goal_ok = !config_in_collision(ctx, goal);
     }
     if (!goal_ok) {
+      if (plan_debug) {
+        int hl = -2, ho = -2;
+        if (ik_ok) config_in_collision(ctx, goal, &hl, &ho);
+        fprintf(stderr, "[plan %d] goal %s (link %d obstacle %d of %d)\n", i,
+                ik_ok ? "in collision" : "IK failed", hl, ho,
+                (int)ctx.obstacles.size());
+      }
       ik_fallback();
       if (success) success[i] = 0;
       return;
@@ -1447,6 +1575,9 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
     std::vector<std::vector<double>> path;
     std::vector<double> goal_v(goal, goal + 7);
     if (!rrt_connect(ctx, q0, goal_v, &path)) {
+      if (plan_debug)
+        fprintf(stderr, "[plan %d] rrt failed (start in collision: %d)\n", i,
+                (int)config_in_collision(ctx, q0.data()));
       ik_fallback();
       if (success) success[i] = 0;
       return;
