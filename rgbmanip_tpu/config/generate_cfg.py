@@ -114,8 +114,13 @@ def manipulations():
         "open_drawer": [0.13, 0.09, 0.09, 0.09, 0.09, 0.09],
         "open_pot": [0.06],
         "pick_mug": [0.1],
-        "close_cabinet": [0.13, 0.09, 0.09, 0.09, 0.09, 0.09],
-        "close_drawer": [0.13, 0.09, 0.09],
+        # close schedules extended past the reference's 6-step pull schedule
+        # (reference reuses the pull lengths, close_cabinet.yaml; its close
+        # skills are unbenchmarked): a door at dof 1.2 needs ~1.05 rad of
+        # closing arc and the chord pushes convert distance imperfectly, so
+        # episodes stalled ~0.2 rad short of the threshold
+        "close_cabinet": [0.13, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09],
+        "close_drawer": [0.13, 0.09, 0.09, 0.09, 0.09],
     }
     out = {}
     for name, steps in closed.items():

@@ -60,12 +60,18 @@ class CloseCabinetManipulation(BaseManipulation):
             self.env.gripper_move_to(pred_pose, time=step_size * 10,
                                      wait=step_size * 5)
             new_p = self.env.gripper_pose()[:, :3]
-            new_dir = new_p - cur_p
-            new_dir[:, 2] = 0.0
-            new_dir = normalize(new_dir)
+            raw = new_p - cur_p
+            raw[:, 2] = 0.0
+            # Only trust the achieved-motion direction when there WAS motion:
+            # once the door reaches its limit the hand stalls, normalize(~0)
+            # is noise, and a corrupted cur_dir drags the grasped door back
+            # open on the next push.
+            moved = np.linalg.norm(raw, axis=-1) > 0.3 * step_size
+            new_dir = normalize(raw)
             delta = new_dir - cur_dir
             dot = np.clip((new_dir * cur_dir).sum(-1, keepdims=True), -1, 1)
-            cur_dir = normalize(cur_dir + 2 * delta * dot)
+            upd = normalize(cur_dir + 2 * delta * dot)
+            cur_dir = np.where(moved[:, None], upd, cur_dir)
 
 
 class CloseDrawerManipulation(CloseCabinetManipulation):

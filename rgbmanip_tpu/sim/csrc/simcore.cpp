@@ -336,7 +336,7 @@ struct EnvSim {
   // seen (the descent can oscillate near singular/limit configs — the
   // final iterate is not necessarily the best) and returns its error.
   double ik_descend(const Pose& target_world, int max_iters, double damping,
-                    double pos_tol, double rot_tol) {
+                    double pos_tol, double rot_tol, double rot_weight = 1.0) {
     Articulation& r = robot();
     double lambda = damping;
     double best_err = 1e18;
@@ -346,6 +346,7 @@ struct EnvSim {
       Pose cur = r.link_pose[ee_link];
       Vec3 ep, er;
       ik_errors(target_world, cur, &ep, &er);
+      er = er * rot_weight;  // weighted LS: soft orientation when < 1
       double err = ep.norm() + 0.3 * er.norm();
       if (ep.norm() < pos_tol && er.norm() < rot_tol) return err;
       if (err < best_err) {
@@ -390,7 +391,7 @@ struct EnvSim {
       Pose cur = r.link_pose[ee_link];
       Vec3 ep, er;
       ik_errors(target_world, cur, &ep, &er);
-      double err = ep.norm() + 0.3 * er.norm();
+      double err = ep.norm() + 0.3 * rot_weight * er.norm();
       if (err < best_err) return err;
     }
     for (int d = 0; d < n_arm; d++) r.q[d] = best_q[d];
@@ -400,7 +401,7 @@ struct EnvSim {
 
   bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
               int max_iters = 120, double damping = 0.08, double tol = 1e-4,
-              int restarts = 5) {
+              int restarts = 5, double rot_weight = 1.0) {
     Articulation& r = robot();
     double pos_tol = std::max(tol, 1e-3), rot_tol = 1e-2;
     std::vector<double> q_save = r.q;
@@ -413,7 +414,7 @@ struct EnvSim {
       Vec3 ep, er;
       ik_errors(target_world, cur, &ep, &er);
       *ep_n = ep.norm();
-      *er_n = er.norm();
+      *er_n = er.norm() * rot_weight;
     };
 
     std::uniform_real_distribution<double> uni(0, 1);
@@ -424,7 +425,7 @@ struct EnvSim {
           r.q[d] = l.lo + (l.hi - l.lo) * uni(rng);
         }
       }
-      ik_descend(target_world, max_iters, damping, pos_tol, rot_tol);
+      ik_descend(target_world, max_iters, damping, pos_tol, rot_tol, rot_weight);
       double ep_n, er_n;
       errs_at(&ep_n, &er_n);
       // The seeded descent (attempt 0) is the baseline — for grasp targets
@@ -782,7 +783,9 @@ struct EnvSim {
     }
     double q_sol[7];
     std::vector<double> qi(r.q.begin(), r.q.begin() + n_arm);
-    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0)) {
+    // position is the hard constraint; orientation about the handle is
+    // already twist-relaxed above, the rest is best-effort (weight 0.3)
+    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0, 0.3)) {
       // keep the achieved per-tick joint velocity: zeroing qd here starves
       // the PD integrator (one tick of acceleration, then reset), which
       // made grasped moves crawl at ~half the commanded distance per move
@@ -1482,7 +1485,14 @@ void sc_exec_ik_move(void* p, const uint8_t* mask, const double* targets7,
     for (int s = 0; s < run_steps; s++) {
       if (s % 10 == 0) {
         std::vector<double> qi(r.q.begin(), r.q.begin() + e.n_arm);
-        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0);
+        // While grasped the wrist is revolute-paired to the handle, so the
+        // commanded orientation is advisory: solve with soft orientation
+        // (weight 0.15) so the target keeps ADVANCING in position when the
+        // strict-orientation solution leaves the workspace (deep drawer
+        // pulls stalled at ~0.28/0.30 m because the rigid-orientation IK
+        // stopped moving once the handle neared the robot base).
+        double rw = e.grasp.grasped ? 0.15 : 1.0;
+        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0, rw);
       }
       for (int d = 0; d < e.n_arm; d++) {
         r.target[d] += (sol[d] - r.target[d]) / (run_steps - s);
