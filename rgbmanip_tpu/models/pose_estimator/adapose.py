@@ -84,8 +84,19 @@ class AdaPoseEstimator(BasePoseEstimator):
         self._forward_fn = jax.jit(self._forward)
 
     # ------------------------------------------------------------------
+    def _arch_meta(self) -> dict:
+        """Architecture knobs that change behavior WITHOUT changing param
+        shapes — a checkpoint restores silently into a mismatched model and
+        produces garbage unless validated [ADVICE]."""
+        m = self.model
+        return {"backend": m.backend, "backbone_stride": m.backbone_stride,
+                "volume_scale": m.volume_scale, "warp_mode": m.warp_mode,
+                "n_depth": self.n_depth, "d_min": self.d_min,
+                "d_interval": self.d_interval, "img_size": self.img_size}
+
     def load(self, path: str):
         """Load a checkpoint: flax msgpack or a converted torch state_dict."""
+        import json
         import os
         if not os.path.exists(path):
             self.logger.warning(f"checkpoint {path} not found; using random init")
@@ -97,20 +108,40 @@ class AdaPoseEstimator(BasePoseEstimator):
         else:
             from flax import serialization
             with open(path, "rb") as f:
+                blob = f.read()
+            tmpl = {"params": self.params, "batch_stats": self.batch_stats}
+            try:
                 restored = serialization.from_bytes(
-                    {"params": self.params, "batch_stats": self.batch_stats},
-                    f.read())
+                    dict(tmpl, meta=json.dumps(self._arch_meta())), blob)
+                saved = json.loads(restored["meta"])
+                mine = self._arch_meta()
+                bad = {k: (saved.get(k), mine[k]) for k in mine
+                       if k in saved and saved[k] != mine[k]}
+                if bad:
+                    raise ValueError(
+                        f"checkpoint {path} was trained with different "
+                        f"architecture knobs (saved vs current): {bad}")
+            except ValueError:
+                raise
+            except Exception:
+                # pre-metadata checkpoint: restore without validation
+                restored = serialization.from_bytes(tmpl, blob)
+                self.logger.warning(
+                    f"checkpoint {path} has no architecture metadata; "
+                    f"restoring unvalidated")
             self.params = restored["params"]
             self.batch_stats = restored["batch_stats"]
         self.logger.info(f"loaded estimator checkpoint {path}")
 
     def save(self, path: str):
+        import json
         import os
         from flax import serialization
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(
-                {"params": self.params, "batch_stats": self.batch_stats}))
+                {"params": self.params, "batch_stats": self.batch_stats,
+                 "meta": json.dumps(self._arch_meta())}))
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch_stats, v1_img, v1_choose, v2_img, v2_choose,

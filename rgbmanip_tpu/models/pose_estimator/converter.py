@@ -11,9 +11,10 @@ our flax ``StereoPoseNetWithDepth`` tree:
   torch Conv1d  (O, I, 1) / Linear (O, I) -> flax Dense (I, O)
   BatchNorm weight/bias/running_mean/running_var -> scale/bias + batch_stats
 
-Caveat: flax ConvTranspose computes the transpose with unflipped kernels
-relative to torch; converted deconv layers are layout-correct but not
-bit-identical. Numerical parity is validated per-layer where possible by
+Transposed convs: ``_TorchDeconv3d``/the banded plan implement torch
+``ConvTranspose3d(k3, s2, p1, op1)`` alignment (apply-time spatial flip,
+explicit (1, 2) padding), so the plain (D, H, W, I, O) transpose here is
+numerically exact. Per-block parity against CPU torch is validated by
 ``tests/test_converter.py`` (synthetic state dicts — the released .pth files
 require network access the build environment does not have).
 """

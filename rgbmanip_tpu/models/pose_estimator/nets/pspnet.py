@@ -47,8 +47,10 @@ class ResNetFeats(nn.Module):
     stride: int = 8   # net stride of the returned features: 8 = reference
     # (layers 3/4 dilated, pspnet.py:71-76); 16/32 trade dilation back for
     # strides — 4x/16x fewer FLOPs in the two heaviest stages, for the
-    # TPU-fast configs (trained with the knob on; not checkpoint-compatible
-    # with the reference shapes)
+    # TPU-fast configs. NOTE: stride changes do NOT change parameter shapes
+    # — a checkpoint trained at one stride restores silently into another;
+    # AdaPoseEstimator stores the knob in checkpoint metadata and validates
+    # it at load time
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,8 +70,11 @@ class ResNetFeats(nn.Module):
                                name=f"{name}_{i}")(x)
             return x
 
-        s3, d3, s4, d4 = {8: (1, 2, 1, 4), 16: (2, 1, 1, 2),
-                          32: (2, 1, 2, 1)}[self.stride]
+        strides = {8: (1, 2, 1, 4), 16: (2, 1, 1, 2), 32: (2, 1, 2, 1)}
+        if self.stride not in strides:
+            raise ValueError(f"backbone stride must be one of "
+                             f"{sorted(strides)}, got {self.stride}")
+        s3, d3, s4, d4 = strides[self.stride]
         x = stage(x, 64, self.layers[0], 1, 1, "layer1")
         x = stage(x, 128, self.layers[1], 2, 1, "layer2")
         x = stage(x, 256, self.layers[2], s3, d3, "layer3")

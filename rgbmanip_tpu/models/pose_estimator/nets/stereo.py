@@ -193,15 +193,35 @@ class ConvBnRelu3d(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
+class _TorchDeconv3d(nn.Module):
+    """Transposed 3-D conv with torch ``ConvTranspose3d(k3, s2, p1, op1)``
+    alignment: output o(do) += x(di) * W[kd] at do = 2*di + kd - 1, i.e.
+    ``lax.conv_transpose`` with explicit (1, 2) padding and the kernel
+    spatially flipped at apply time. The stored kernel keeps the natural
+    (D, H, W, I, O) layout (torch (I, O, D, H, W) transposed, unflipped), so
+    ``converter.py`` maps released .pth weights bit-correctly and the kernel
+    stays interchangeable with the banded-2D plan (same tree path/shape)."""
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 3, ci, self.out_ch))
+        k = k[::-1, ::-1, ::-1].astype(self.dtype)
+        return jax.lax.conv_transpose(
+            x.astype(self.dtype), k, (2, 2, 2), ((1, 2), (1, 2), (1, 2)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
 class DeconvBnRelu3d(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(self.out_ch, (3, 3, 3), strides=(2, 2, 2),
-                             padding="SAME", use_bias=False, dtype=self.dtype,
-                             name="conv")(x)
+        x = _TorchDeconv3d(self.out_ch, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
@@ -240,13 +260,15 @@ def _band_conv(D_in: int, stride: int):
 
 
 def _band_deconv(D_in: int):
-    """(3, 2*D_in, D_in) selector: flax ConvTranspose(k=3, s=2, SAME) depth
-    taps do = 2*di + 2 - kd (mapping verified against flax numerically)."""
+    """(3, 2*D_in, D_in) selector with torch ConvTranspose3d(k3,s2,p1,op1)
+    depth alignment: do = 2*di + kd - 1 (kd indexes the unflipped kernel) —
+    matches :class:`_TorchDeconv3d` so banded/3-D checkpoints stay
+    interchangeable."""
     import numpy as np
     kd = np.arange(3)[:, None, None]
     do = np.arange(2 * D_in)[None, :, None]
     di = np.arange(D_in)[None, None, :]
-    return jnp.asarray((do == 2 * di + 2 - kd).astype(np.float32))
+    return jnp.asarray((do == 2 * di + kd - 1).astype(np.float32))
 
 
 class _Kernel3d(nn.Module):
@@ -290,12 +312,16 @@ class ConvBnRelu3dBanded(nn.Module):
         k = _Kernel3d(ci, co, name="conv")()
         band = _band_deconv(D) if self.transpose else _band_conv(D, self.stride)
         D_out = band.shape[1]
+        if self.transpose:
+            # torch alignment (see _TorchDeconv3d): spatial kernel flipped at
+            # apply time; depth handled by the unflipped-kd band
+            k = k[:, ::-1, ::-1]
         w2 = jnp.einsum("kde,kyxio->yxeido", band, k)
         w2 = w2.reshape(3, 3, D * ci, D_out * co).astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
         if self.transpose:
             y = jax.lax.conv_transpose(x.astype(self.dtype), w2, (2, 2),
-                                       "SAME", dimension_numbers=dn)
+                                       ((1, 2), (1, 2)), dimension_numbers=dn)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w2, (self.stride,) * 2,
@@ -498,8 +524,10 @@ class StereoPoseNetWithDepth(nn.Module):
         from ....ops.gather import flat_gather, point_sample_matmul
 
         def gather_pts(feat, choose):
-            py = (choose // S).astype(jnp.float32) / fs
-            px = (choose % S).astype(jnp.float32) / fs
+            # pixel-center alignment into the strided map (grid_sample
+            # align=False semantics): (p + 0.5)/fs - 0.5, not p/fs [ADVICE]
+            py = ((choose // S).astype(jnp.float32) + 0.5) / fs - 0.5
+            px = ((choose % S).astype(jnp.float32) + 0.5) / fs - 0.5
             return point_sample_matmul(feat, py, px)
 
         instance_color = MLP1D((64,), final="relu", dtype=self.dtype,
@@ -527,8 +555,8 @@ class StereoPoseNetWithDepth(nn.Module):
             # cost (B, Sv, Sv, D): sample the D-vector at each chosen pixel
             # (full-res coords mapped into the reduced volume) via matmul
             # sampling
-            py = (choose // S).astype(jnp.float32) / vs
-            px = (choose % S).astype(jnp.float32) / vs
+            py = ((choose // S).astype(jnp.float32) + 0.5) / vs - 0.5
+            px = ((choose % S).astype(jnp.float32) + 0.5) / vs - 0.5
             pts = point_sample_matmul(cost, py, px)                   # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
             depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)

@@ -155,6 +155,108 @@ def train(env, controller, cfg, log):
         controller.train_manipulation(iters)
 
 
+def _baseline_position_map(root, key):
+    """Per-setting Position map (H, W, 3) for pixel-coordinate actions.
+
+    The reference stores it inside the setting pickle
+    (``observation.pic.camera0.Position``, train.py:318-320); our collection
+    controller writes it to a sibling ``<key>.npz`` (collection.py).
+    """
+    npz_path = os.path.join(root, key + ".npz")
+    if os.path.exists(npz_path):
+        data = np.load(npz_path)
+        if "position" in data:
+            return data["position"]
+    return None
+
+
+def _floats(tokens):
+    out = []
+    for t in tokens:
+        t = t.strip().strip("[](),")
+        if not t:
+            continue
+        try:
+            out.append(float(t))
+        except ValueError:
+            continue  # format junk between the numeric fields (scores, tags)
+    return out
+
+
+def parse_baseline_actions(action_path, settings, position_of=None):
+    """Parse an offline baseline action file into [(key, action6), ...].
+
+    Handles the reference's three formats (train.py:307-365):
+      1. plain whitespace: ``key x y z dx dy dz``
+      2. comma 3-D point:  ``name, [px, py, pz], [dx dy dz]``
+      3. comma pixel:      ``name, [cx, cy], [dx, dy, dz]`` — the point is
+         recovered from the setting's stored Position map at (cx, cy)
+      4. Where2Act report (``_w2a_report`` in the filename):
+         ``name (cx, cy) ... [xd xd xd] [yd yd yd]`` — pixel point + the x
+         direction vector
+    position_of(key) -> (H, W, 3) array or None supplies the Position maps.
+    """
+    is_w2a = "_w2a_report" in os.path.basename(action_path)
+    actions = []
+    with open(action_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if is_w2a:
+                import re
+                toks = line.split()
+                key = toks[0]
+                key = key[:-7] if key.endswith(".pickle") else key
+                key = key[:-4] if key.endswith(".pkl") else key
+                cx, cy = int(float(toks[1].strip("(),"))), \
+                    int(float(toks[2].strip("(),")))
+                # direction = the x vector, the FIRST bracketed group (any
+                # score field between the pixel and the brackets is skipped,
+                # reference train.py:326-331)
+                groups = re.findall(r"\[([^\]]*)\]", line)
+                if not groups:
+                    continue
+                nums = _floats(groups[0].split())
+                if len(nums) < 3:
+                    continue
+                direction = np.asarray(nums[:3])
+                pos = position_of(key) if position_of else None
+                if pos is None:
+                    continue
+                point = np.asarray(pos[cx][cy][:3], np.float64)
+            elif "," in line:
+                block = [b.strip() for b in line.split(",")]
+                key = block[0]
+                key = key[:-7] if key.endswith(".pickle") else key
+                key = key[:-4] if key.endswith(".pkl") else key
+                nums = _floats(" ".join(block[1:]).replace(
+                    "[", " ").replace("]", " ").split())
+                if len(nums) >= 6:          # [px, py, pz], [dx, dy, dz]
+                    point = np.asarray(nums[:3])
+                    direction = np.asarray(nums[3:6])
+                elif len(nums) == 5:        # [cx, cy], [dx, dy, dz]
+                    cx, cy = int(nums[0]), int(nums[1])
+                    direction = np.asarray(nums[2:5])
+                    pos = position_of(key) if position_of else None
+                    if pos is None:
+                        continue
+                    point = np.asarray(pos[cx][cy][:3], np.float64)
+                else:
+                    continue
+            else:
+                parts = line.split()
+                key = parts[0]
+                nums = _floats(parts[1:])
+                if len(nums) < 6:
+                    continue
+                point, direction = np.asarray(nums[:3]), np.asarray(nums[3:6])
+            if key not in settings:
+                continue
+            actions.append((key, np.concatenate([point, direction])))
+    return actions
+
+
 def test_baseline(env, controller, cfg, log):
     """Replay offline baseline actions against saved task settings
     (reference train.py:287-382)."""
@@ -164,28 +266,26 @@ def test_baseline(env, controller, cfg, log):
         raise ConfigError("test_baseline needs train.task_setting_root and train.action_path")
     settings = {}
     for fname in sorted(os.listdir(root)):
-        if fname.endswith(".pkl"):
+        if fname.endswith((".pkl", ".pickle")):
             with open(os.path.join(root, fname), "rb") as f:
                 settings[os.path.splitext(fname)[0]] = pickle.load(f)
+
+    def position_of(key):
+        s = settings.get(key)
+        if isinstance(s, dict):        # reference layout: in-pickle map
+            try:
+                return s["observation"]["pic"]["camera0"]["Position"]
+            except (KeyError, TypeError):
+                pass
+        return _baseline_position_map(root, key)
+
     succ, rounds = 0.0, 0
-    with open(action_path) as f:
-        for line in f:
-            parts = line.strip().split()
-            if not parts:
-                continue
-            key = parts[0]
-            if key not in settings:
-                continue
-            vals = np.asarray([float(v) for v in parts[1:]])
-            if len(vals) >= 6:
-                point, direction = vals[:3], vals[3:6]
-            else:
-                continue
-            controller.run(settings[key], np.concatenate([point, direction]))
-            obs = env.get_observation()
-            succ += float(obs["success"].sum())
-            rounds += env.num_envs
-            log.info(f"baseline {key}: success {succ / rounds * 100:.2f}%")
+    for key, action in parse_baseline_actions(action_path, settings, position_of):
+        controller.run(settings[key], action)
+        obs = env.get_observation()
+        succ += float(obs["success"].sum())
+        rounds += env.num_envs
+        log.info(f"baseline {key}: success {succ / rounds * 100:.2f}%")
     log.info(f"BASELINE success rate {succ / max(rounds, 1) * 100:.2f}%")
 
 
