@@ -314,9 +314,22 @@ class PPO:
                                  np.asarray(dones, np.float32),
                                  np.asarray(value), np.asarray(logprob),
                                  np.asarray(mu), np.asarray(sigma))
+                # per-key episode infos: envs return either one dict of
+                # batched arrays or a list of per-env dicts (the vec env's
+                # form) — both feed the reward-component logging (reference
+                # ppo.py:366-406)
                 if isinstance(infos, dict):
                     for k, v in infos.items():
                         info_accum.setdefault(k, []).append(np.mean(np.asarray(v)))
+                elif isinstance(infos, (list, tuple)) and infos and \
+                        isinstance(infos[0], dict):
+                    for k in infos[0]:
+                        vals = [np.asarray(d[k], np.float64) for d in infos
+                                if k in d]
+                        if vals and all(np.issubdtype(v.dtype, np.number)
+                                        for v in vals):
+                            info_accum.setdefault(k, []).append(
+                                float(np.mean([np.mean(v) for v in vals])))
                 ep_rewards += np.asarray(rewards, np.float32)
                 ep_lengths += 1
                 done_mask = np.asarray(dones, bool)
@@ -409,9 +422,13 @@ class PPO:
         self.log.info(f"eval: success {rate * 100:.2f}% over {episodes} episodes")
         return rate
 
-    # --- checkpointing (reference ppo.py:131-140) ---
+    # --- checkpointing (reference ppo.py:131-140; unlike the reference,
+    # opt_state is saved too so resume keeps the Adam moments and the
+    # KL-adapted LR instead of resetting them) ---
     def save(self, path):
-        blob = serialization.to_bytes({"params": self.params, "lr": float(self.lr)})
+        blob = serialization.to_bytes({"params": self.params,
+                                       "opt_state": self.opt_state,
+                                       "lr": float(self.lr)})
         with open(path + ".ckpt", "wb") as f:
             f.write(blob)
         self.log.info(f"saved checkpoint {path}.ckpt")
@@ -419,8 +436,17 @@ class PPO:
     def load(self, path):
         with open(path, "rb") as f:
             blob = f.read()
-        restored = serialization.from_bytes(
-            {"params": self.params, "lr": float(self.lr)}, blob)
+        try:
+            restored = serialization.from_bytes(
+                {"params": self.params, "opt_state": self.opt_state,
+                 "lr": float(self.lr)}, blob)
+            self.opt_state = restored["opt_state"]
+        except Exception:
+            # pre-opt_state checkpoint: restore weights + lr only
+            restored = serialization.from_bytes(
+                {"params": self.params, "lr": float(self.lr)}, blob)
+            self.log.warning(f"{path}: no opt_state in checkpoint; Adam "
+                             f"moments reset")
         self.params = restored["params"]
         self.lr = float(restored["lr"])
         m = re.search(r"model_(\d+)", os.path.basename(path))
