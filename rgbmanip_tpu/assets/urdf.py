@@ -64,6 +64,12 @@ def _shapes_from(link_el: ET.Element, collide: bool, visual_id: int,
         geom = el.find("geometry")
         if geom is None:
             continue
+        # visual_id may be a callable (element name -> id): PartNet-Mobility
+        # marks handles at the VISUAL level (<visual name="handle-3">), the
+        # reference's seg-id convention keys off that name
+        # (open_cabinet.py:129-144)
+        vid = visual_id(el.get("name", "") or "") if callable(visual_id) \
+            else visual_id
         local = _origin_pose(el.find("origin"))
         box = geom.find("box")
         cyl = geom.find("cylinder")
@@ -72,16 +78,16 @@ def _shapes_from(link_el: ET.Element, collide: bool, visual_id: int,
         if box is not None:
             size = _floats(box.get("size"), 3, 0.01)
             shapes.append(ShapeSpec(S_BOX, tuple(size / 2), local, color,
-                                    visual_id, collide))
+                                    vid, collide))
         elif cyl is not None:
             r = float(cyl.get("radius", 0.01))
             hh = float(cyl.get("length", 0.02)) / 2
             shapes.append(ShapeSpec(S_CYLINDER, (r, hh, 0.0), local, color,
-                                    visual_id, collide))
+                                    vid, collide))
         elif sph is not None:
             r = float(sph.get("radius", 0.01))
             shapes.append(ShapeSpec(S_SPHERE, (r, 0.0, 0.0), local, color,
-                                    visual_id, collide))
+                                    vid, collide))
         elif mesh is not None:
             fname = mesh.get("filename", "")
             scale = _floats(mesh.get("scale"), 3, 1.0)
@@ -99,7 +105,7 @@ def _shapes_from(link_el: ET.Element, collide: bool, visual_id: int,
             from ..utils.transform import quat_rotate
             p[:3] = p[:3] + quat_rotate(p[3:], np.asarray(center, np.float64))
             shapes.append(ShapeSpec(S_BOX, tuple(np.asarray(half, np.float64)),
-                                    p, color, visual_id, collide))
+                                    p, color, vid, collide))
     return shapes
 
 
@@ -109,6 +115,7 @@ def load_urdf(path: str,
               drive: Optional[Dict[str, Tuple[float, float]]] = None,
               mesh_bounds: Optional[Callable] = None,
               use_visual_as_collision: bool = False,
+              prefer_visual_shapes: bool = False,
               log=None) -> ArticulationSpec:
     """Parse a URDF file into an ArticulationSpec.
 
@@ -162,12 +169,24 @@ def load_urdf(path: str,
         el = link_els[name]
         vid = visual_ids.get(name, 0)
         color = colors.get(name, (0.7, 0.7, 0.7))
-        shapes = _shapes_from(el, True, vid, color, mesh_bounds, urdf_dir, log)
-        if not shapes and use_visual_as_collision:
+        if prefer_visual_shapes:
+            # PartNet-Mobility: visuals carry the semantic names ("handle-3")
+            # the seg-id convention needs, collisions are unnamed duplicates —
+            # use the visual set for BOTH rendering and collision
             shapes = _shapes_from(el, False, vid, color, mesh_bounds,
                                   urdf_dir, log)
             for s in shapes:
                 s.collide = True
+            if not shapes:
+                shapes = _shapes_from(el, True, vid, color, mesh_bounds,
+                                      urdf_dir, log)
+        else:
+            shapes = _shapes_from(el, True, vid, color, mesh_bounds, urdf_dir, log)
+            if not shapes and use_visual_as_collision:
+                shapes = _shapes_from(el, False, vid, color, mesh_bounds,
+                                      urdf_dir, log)
+                for s in shapes:
+                    s.collide = True
         if name == order[0]:
             spec.links.append(LinkSpec(name, parent=-1, joint_type=J_FIXED,
                                        shapes=shapes))

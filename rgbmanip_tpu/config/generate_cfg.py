@@ -105,6 +105,21 @@ def datasets():
             },
         }
     out["real_world"] = {"name": "real_world", "type": "real", "objects": {}}
+    # PartNet-Mobility-style URDF dataset (mesh geometry through the AABB
+    # seam; the fixture mirrors the reference's mobility.urdf layout,
+    # cfg/dataset/cabinet_train.yaml entries). Real PartNet objects drop in
+    # by listing more entries with path (+ active link in the name).
+    out["cabinet_urdf_fixture"] = {
+        "name": "partnet_mobility",
+        "type": "one_door_cabinet",
+        "dataset_root": ".",
+        "objects": {
+            "fixture_link_0": {
+                "name": "fixture_link_0",
+                "path": "tests/fixtures/mobility_cabinet/mobility.urdf",
+            },
+        },
+    }
     return out
 
 

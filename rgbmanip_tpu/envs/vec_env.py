@@ -107,6 +107,8 @@ class VecManipulationEnv:
     # ------------------------------------------------------------------
     def _prepare_data(self, obj_cfg, task_cfg):
         self.obj_catalog = list(obj_cfg["objects"].values())
+        self.dataset_root = obj_cfg.get("dataset_root", "")
+        self.obj_category = obj_cfg.get("type", "object")
         rnd = task_cfg["object_conf"]["randomization"]
         self.obj_rand = {
             "rot": (rnd["rot"]["low"], rnd["rot"]["high"]),
@@ -132,9 +134,33 @@ class VecManipulationEnv:
         -bbox_min*0.75 — open_cabinet.py:66-69)."""
         return 0.75 * meta.half_depth, 0.75 * meta.half_height
 
+    def _object_source(self, entry_or_cfg):
+        """(spec, meta) from a dataset entry or a saved obj_config: either a
+        procedural (category, seed) pair or a PartNet-style URDF entry with
+        'path' (+ optional 'active_link'; default parsed from the entry name
+        suffix, e.g. '44781_link_0' -> 'link_0' — the reference's convention,
+        cfg/dataset/cabinet_train.yaml)."""
+        if entry_or_cfg.get("path"):
+            import os
+            from ..assets.urdf_object import load_object_urdf
+            path = entry_or_cfg["path"]
+            if self.dataset_root and not os.path.isabs(path):
+                path = os.path.join(self.dataset_root, path)
+            active = entry_or_cfg.get("active_link")
+            if not active:
+                name = entry_or_cfg.get("name", "")
+                if "_link_" in name:
+                    active = "link_" + name.rsplit("_link_", 1)[1]
+                else:
+                    raise ValueError(
+                        f"urdf dataset entry {name!r} needs active_link")
+            return load_object_urdf(path, active, category=self.obj_category)
+        return procedural.generate(entry_or_cfg["category"],
+                                   entry_or_cfg["seed"])
+
     def _generate_object_config(self, e: int):
         entry = self.obj_catalog[self._rng.integers(len(self.obj_catalog))]
-        spec, meta = procedural.generate(entry["category"], entry["seed"])
+        spec, meta = self._object_source(entry)
         ang = self._rng.uniform(*self.obj_rand["pos_angle"])
         rot = self._rng.uniform(*self.obj_rand["rot"])
         d_off, h_off = self._placement_offsets(meta)
@@ -147,11 +173,15 @@ class VecManipulationEnv:
         dof = self._rng.uniform(self.obj_rand["dof"][0], self.obj_rand["dof"][1])
         cfg = {
             "name": entry["name"],
-            "category": entry["category"],
-            "seed": int(entry["seed"]),
             "dof": dof.tolist(),
             "pose_7d": p1.to_7d().tolist(),
         }
+        if entry.get("path"):
+            cfg["path"] = entry["path"]
+            cfg["active_link"] = entry.get("active_link", meta.part_link)
+        else:
+            cfg["category"] = entry["category"]
+            cfg["seed"] = int(entry["seed"])
         return cfg, spec, meta, p1, dof
 
     def _generate_robot_config(self, e: int):
@@ -184,7 +214,7 @@ class VecManipulationEnv:
         if obj_config is None:
             obj_config, spec, meta, opose, odof = self._generate_object_config(e)
         else:
-            spec, meta = procedural.generate(obj_config["category"], obj_config["seed"])
+            spec, meta = self._object_source(obj_config)
             opose = Pose.from_7d(np.asarray(obj_config["pose_7d"]))
             odof = np.asarray(obj_config["dof"])
         oart = self.pool.build_articulation(e, spec, opose.to_7d())

@@ -1,0 +1,75 @@
+"""PartNet-Mobility-style URDF object seam (VERDICT r1 item 6): mesh AABBs,
+handle seg ids from visual names, canonical part frame, and an end-to-end
+task run on the fixture mobility.urdf."""
+
+import os
+
+import numpy as np
+
+from rgbmanip_tpu.assets.mesh import mesh_aabb
+from rgbmanip_tpu.assets.procedural import VID_GRASP, VID_PART
+from rgbmanip_tpu.assets.urdf_object import load_object_urdf
+from rgbmanip_tpu.config import load_config
+from rgbmanip_tpu.train import (prepare_controller, prepare_env,
+                                prepare_manipulation, prepare_pose_estimator,
+                                test as run_test)
+from rgbmanip_tpu.utils.logger import get_logger
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "mobility_cabinet", "mobility.urdf")
+LOG = get_logger()
+LOG.setLevel("WARNING")
+
+
+def test_mesh_aabb_obj():
+    center, half = mesh_aabb(os.path.join(os.path.dirname(FIXTURE), "handle.obj"))
+    np.testing.assert_allclose(center, [-0.045, -0.51, 0.0], atol=1e-6)
+    np.testing.assert_allclose(half, [0.014, 0.014, 0.075], atol=1e-6)
+
+
+def test_load_object_urdf_seg_ids_and_meta():
+    spec, meta = load_object_urdf(FIXTURE, "link_0", category="one_door_cabinet")
+    assert meta.part_link == "link_0"
+    assert meta.dof_lo == 0.0 and abs(meta.dof_hi - 1.6) < 1e-9
+    link = spec.links[spec.link_index("link_0")]
+    vids = sorted(s.visual_id for s in link.shapes)
+    assert vids.count(VID_GRASP) == 3      # handle + 2 posts
+    assert vids.count(VID_PART) == 1       # door panel
+    other = [s for l in spec.links for s in l.shapes
+             if l.name not in ("link_0",)]
+    assert all(s.visual_id == 0 for s in other)
+    # canonical frame: handle axis0 = link -z must point INTO the face.
+    # At q=0 the door faces -x (fixture geometry), so link z ~ world -x.
+    from rgbmanip_tpu.assets.urdf_object import _fk_zero
+    from rgbmanip_tpu.utils.transform import quat_rotate
+    poses = _fk_zero(spec)
+    _, lq = poses[spec.link_index("link_0")]
+    z_w = quat_rotate(lq, np.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(z_w, [-1, 0, 0], atol=1e-6)
+
+
+def test_urdf_fixture_task_e2e():
+    """Full open_cabinet episode batch on the URDF dataset: gt bbox,
+    segmentation, planner, grasp, pull — success at parity with the
+    procedural objects (~90% at 32 eps; assert a conservative floor)."""
+    cfg = load_config([
+        "dataset=cabinet_urdf_fixture", "task=open_cabinet",
+        "manipulation=open_cabinet", "controller=gt_pose",
+        "pose_estimator=ground_truth", "train=test",
+        "train.total_round=16", "task.num_envs=8",
+    ])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        manip = prepare_manipulation(env, cfg["manipulation"], LOG)
+        pe = prepare_pose_estimator(env, cfg["pose_estimator"], LOG)
+        ctrl = prepare_controller(env, pe, manip, cfg["controller"], cfg, LOG)
+        result = run_test(env, ctrl, cfg, LOG)
+        assert result["success_rate"] >= 50.0, result
+        # segmentation: the handle mask (rendered grasp-id pixels) is
+        # non-empty from the wrist camera after reset
+        env.reset()
+        img = env.get_image()
+        mask = np.asarray(img["camera0"]["Mask"])
+        assert mask.any(), "handle segmentation mask empty on URDF object"
+    finally:
+        env.close()
