@@ -44,6 +44,7 @@ class BasicBlock(nn.Module):
 
 class ResNetFeats(nn.Module):
     layers: Tuple[int, ...] = (3, 4, 6, 3)  # resnet34
+    planes: Tuple[int, ...] = (64, 128, 256, 512)
     stride: int = 8   # net stride of the returned features: 8 = reference
     # (layers 3/4 dilated, pspnet.py:71-76); 16/32 trade dilation back for
     # strides — 4x/16x fewer FLOPs in the two heaviest stages, for the
@@ -75,10 +76,11 @@ class ResNetFeats(nn.Module):
             raise ValueError(f"backbone stride must be one of "
                              f"{sorted(strides)}, got {self.stride}")
         s3, d3, s4, d4 = strides[self.stride]
-        x = stage(x, 64, self.layers[0], 1, 1, "layer1")
-        x = stage(x, 128, self.layers[1], 2, 1, "layer2")
-        x = stage(x, 256, self.layers[2], s3, d3, "layer3")
-        x = stage(x, 512, self.layers[3], s4, d4, "layer4")
+        p = self.planes
+        x = stage(x, p[0], self.layers[0], 1, 1, "layer1")
+        x = stage(x, p[1], self.layers[1], 2, 1, "layer2")
+        x = stage(x, p[2], self.layers[2], s3, d3, "layer3")
+        x = stage(x, p[3], self.layers[3], s4, d4, "layer4")
         return x
 
 
@@ -136,12 +138,14 @@ class PSPModule(nn.Module):
 
 class PSPUpsample(nn.Module):
     out_ch: int
+    kernel: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = upsample_bilinear(x, 2)
-        x = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+        x = nn.Conv(self.out_ch, (self.kernel,) * 2,
+                    padding=(self.kernel - 1) // 2, dtype=self.dtype,
                     name="conv")(x)
         alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
         return jnp.where(x >= 0, x, alpha * x)
@@ -155,13 +159,29 @@ class PSPNet(nn.Module):
     # after the three fixed 2x upsamples
     dtype: jnp.dtype = jnp.float32
 
+    # backend table: (block counts, stage widths, slim head). "resnet10s"
+    # is the TPU-fast extractor designed against this chip's measured
+    # ceilings: the r18 config runs at ~34 TFLOP/s effective (speed of
+    # light for its FLOPs) so the only lever left is FLOPs — one block per
+    # stage, 0.75x widths, and a 1x1 up_1 (the 3x3 1024->256 upsample conv
+    # was ~20% of the whole backbone).
+    _ARCH = {
+        "resnet34": ((3, 4, 6, 3), (64, 128, 256, 512), False),
+        "resnet18": ((2, 2, 2, 2), (64, 128, 256, 512), False),
+        "resnet10s": ((1, 1, 1, 1), (48, 96, 192, 384), True),
+    }
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        layers = (2, 2, 2, 2) if self.backend == "resnet18" else (3, 4, 6, 3)
-        f = ResNetFeats(layers, stride=self.backbone_stride,
+        if self.backend not in self._ARCH:
+            raise ValueError(f"backend must be one of "
+                             f"{sorted(self._ARCH)}, got {self.backend!r}")
+        layers, planes, slim = self._ARCH[self.backend]
+        f = ResNetFeats(layers, planes, stride=self.backbone_stride,
                         dtype=self.dtype, name="feats")(x)
         p = PSPModule(self.bins, dtype=self.dtype, name="psp")(f)
-        p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p)
+        p = PSPUpsample(256, kernel=1 if slim else 3, dtype=self.dtype,
+                        name="up_1")(p)
         p = PSPUpsample(64, dtype=self.dtype, name="up_2")(p)
         p = PSPUpsample(64, dtype=self.dtype, name="up_3")(p)
         return nn.Conv(32, (1, 1), dtype=self.dtype, name="final")(p)

@@ -72,25 +72,18 @@ def ransac_umeyama(source, target, key, n_hypotheses: int = 128,
     return scale, R, t, valid
 
 
-def masked_median(values, mask, iters: int = 30):
-    """Median of values[mask] with static shapes via bisection (counting
-    rank), avoiding a full TPU sort. Converges to the lower median within
-    range/2^iters; exact enough for the scale-ratio medians used here."""
+def masked_median(values, mask):
+    """Exact lower median of values[mask] with static shapes: one XLA sort
+    (invalid entries pushed to +inf) + a rank gather. Replaces a
+    30-iteration bisection loop whose 30 SERIALIZED full-array reductions
+    dominated the whole pose solve (~19 ms of a 28 ms estimate at B=64 —
+    the vmapped loop re-read the (B, 65k) ratio array every iteration)."""
     mask = mask & jnp.isfinite(values)
     n = mask.sum()
-    big = jnp.where(mask, values, 0.0)
-    lo = jnp.where(mask, values, jnp.inf).min()
-    hi = jnp.where(mask, values, -jnp.inf).max()
-    target = (n + 1) // 2
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = (mask & (values <= mid)).sum()
-        return jnp.where(cnt >= target, lo, mid), jnp.where(cnt >= target, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    v = jnp.where(mask, values, jnp.inf)
+    s = jnp.sort(v)
+    rank = jnp.clip((n + 1) // 2 - 1, 0, values.shape[-1] - 1)
+    return jnp.where(n > 0, s[rank], jnp.nan)
 
 
 def compute_scale(cam_pts, nocs_pts, max_pairs_dim: int = 256,
