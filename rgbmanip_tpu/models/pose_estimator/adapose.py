@@ -186,10 +186,19 @@ class AdaPoseEstimator(BasePoseEstimator):
                   ext2, key):
         B = rgb1.shape[0]
         k1, k2, k3 = jax.random.split(key, 3)
-        c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
+        c1, choose1, pts2d1, newK1, _ = prepare_model_input(
             rgb1, mask1, K, k1, self.img_size, self.n_pts)
-        c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
+        c2, choose2, pts2d2, newK2, _ = prepare_model_input(
             rgb2, mask2, K, k2, self.img_size, self.n_pts)
+        # Empty-mask sentinel (reference interface_v5.py:236-245). Computed
+        # directly from the input masks rather than consuming the nested-jit
+        # validity outputs: routing those flags into this graph's epilogue
+        # provoked a pathological XLA schedule (+17 ms on a 25 ms B=64
+        # estimate, measured via scripts/profile_estimate_ablate.py). The
+        # crop window is fitted to the mask bbox, so mask.any() is the same
+        # predicate.
+        ok1 = mask1.reshape(B, -1).any(-1)
+        ok2 = mask2.reshape(B, -1).any(-1)
 
         def full_proj(newK, ext):
             return jnp.eye(4).at[:3, :].set(newK @ ext[:3, :])

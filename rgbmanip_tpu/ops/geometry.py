@@ -72,26 +72,41 @@ def ransac_umeyama(source, target, key, n_hypotheses: int = 128,
     return scale, R, t, valid
 
 
-def masked_median(values, mask):
-    """Exact lower median of values[mask] with static shapes: one XLA sort
-    (invalid entries pushed to +inf) + a rank gather. Replaces a
-    30-iteration bisection loop whose 30 SERIALIZED full-array reductions
-    dominated the whole pose solve (~19 ms of a 28 ms estimate at B=64 —
-    the vmapped loop re-read the (B, 65k) ratio array every iteration)."""
+def masked_median(values, mask, iters: int = 32):
+    """Lower median of values[mask] with static shapes via bisection on the
+    value range (counting rank), converging to range/2^32 — exact to f32
+    precision. Chosen over ``jnp.sort``: XLA's TPU sort carries a ~4 ms
+    fixed cost at ANY input size on this chip (scripts/
+    profile_estimate_ablate.py measured 3.9-4.4 ms from (64,512) up to
+    (64,65536)), while 32 fused count-reduction sweeps over the (already
+    subsampled) ratio array are bandwidth-trivial. Returns NaN when the
+    mask is empty (callers gate on isfinite)."""
     mask = mask & jnp.isfinite(values)
     n = mask.sum()
-    v = jnp.where(mask, values, jnp.inf)
-    s = jnp.sort(v)
-    rank = jnp.clip((n + 1) // 2 - 1, 0, values.shape[-1] - 1)
-    return jnp.where(n > 0, s[rank], jnp.nan)
+    target = (n + 1) // 2
+    v = jnp.where(mask, values, jnp.inf)   # masked-out sort to +inf
+    lo = v.min()
+    hi = jnp.where(mask, values, -jnp.inf).max()
+
+    # trace-time unroll: a lax.fori_loop pays ~0.1 ms/iteration of TPU
+    # while-loop synchronization — 32 unrolled sweeps fuse into straight-
+    # line code and run at memory bandwidth instead
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        below = (v <= mid).sum()
+        lo = jnp.where(below >= target, lo, mid)
+        hi = jnp.where(below >= target, mid, hi)
+    return jnp.where(n > 0, 0.5 * (lo + hi), jnp.nan)
 
 
-def compute_scale(cam_pts, nocs_pts, max_pairs_dim: int = 256,
+def compute_scale(cam_pts, nocs_pts, max_pairs_dim: int = 128,
                   real_dis_cap: float = 0.3):
     """Median ratio of pairwise distances (reference lib/utils.py:76-97).
 
     cam_pts, nocs_pts: (N, 3). Subsamples to ``max_pairs_dim`` points (strided)
-    to bound the pairwise matrix; reference uses all pairs of 1024.
+    to bound the pairwise matrix; reference uses all pairs of 1024. The
+    median over 16k subsampled ratios differs from the full 65k-pair median
+    by ~sigma/128 — well under a millimeter at the observed ratio spread.
     """
     N = cam_pts.shape[0]
     step = max(1, N // max_pairs_dim)

@@ -66,13 +66,46 @@ def prep_forward(r1, r2, m):
     return pred["view1_nocs"], pred["view1_depth"]
 
 
+def prep_forward_r(r1, r2, m):
+    # exactly the heads the direct-regression solve consumes
+    k1, k2 = jax.random.split(key)
+    c1, choose1, _, newK1, _ = prepare_model_input(r1, m, K, k1, est.img_size, est.n_pts)
+    c2, choose2, _, newK2, _ = prepare_model_input(r2, m, K, k2, est.img_size, est.n_pts)
+    def full_proj(nk, e):
+        return jnp.eye(4).at[:3, :].set(nk @ e[:3, :])
+    P1 = jax.vmap(full_proj)(newK1, ext)
+    P2 = jax.vmap(full_proj)(newK2, ext2)
+    dv = depth_hypotheses(r1.shape[0], est.d_min, est.d_interval, est.n_depth)
+    pred = est._forward(est.params, est.batch_stats,
+                        c1.astype(est.model.dtype), choose1,
+                        c2.astype(est.model.dtype), choose2, P1, P2, dv)
+    return pred["view1_nocs"], pred["view1_depth"], pred["view1_r"]
+
+
+def prep_forward_all(r1, r2, m):
+    # every head consumed -> nothing the solve needs can be DCE'd
+    k1, k2 = jax.random.split(key)
+    c1, choose1, _, newK1, _ = prepare_model_input(r1, m, K, k1, est.img_size, est.n_pts)
+    c2, choose2, _, newK2, _ = prepare_model_input(r2, m, K, k2, est.img_size, est.n_pts)
+    def full_proj(nk, e):
+        return jnp.eye(4).at[:3, :].set(nk @ e[:3, :])
+    P1 = jax.vmap(full_proj)(newK1, ext)
+    P2 = jax.vmap(full_proj)(newK2, ext2)
+    dv = depth_hypotheses(r1.shape[0], est.d_min, est.d_interval, est.n_depth)
+    pred = est._forward(est.params, est.batch_stats,
+                        c1.astype(est.model.dtype), choose1,
+                        c2.astype(est.model.dtype), choose2, P1, P2, dv)
+    return tuple(pred.values())
+
+
 def full(r1, r2, m):
     bbox, _ = est._estimate(est.params, est.batch_stats, K, r1, m, ext,
                             r2, m, ext2, key)
     return bbox
 
 
-jobs = {"prep": prep_only, "fwd": prep_forward, "full": full}
+jobs = {"prep": prep_only, "fwd": prep_forward, "fwd_r": prep_forward_r,
+        "fwd_all": prep_forward_all, "full": full}
 for name, fn in jobs.items():
     if which not in ("all", name):
         continue
