@@ -49,6 +49,9 @@ class CloseCabinetManipulation(BaseManipulation):
         # breaks it — a deliberate behavioral fix (the reference records no
         # close-task numbers).
         cur_dir = pre_grasp_axis
+        init_dir = pre_grasp_axis.copy()
+        start_p = self.env.gripper_pose()[:, :3]
+        peak = np.zeros(batch)
         for step_size in self.cfg["step_sizes"]:
             cur_p = self.env.gripper_pose()[:, :3]
             pred_p = cur_p + cur_dir * step_size
@@ -72,6 +75,22 @@ class CloseCabinetManipulation(BaseManipulation):
             dot = np.clip((new_dir * cur_dir).sum(-1, keepdims=True), -1, 1)
             upd = normalize(cur_dir + 2 * delta * dot)
             cur_dir = np.where(moved[:, None], upd, cur_dir)
+            # Reopening guard: the reflection update tracks the achieved arc
+            # in WHICHEVER swing sense the episode stumbled into — once a
+            # grasp disturbance starts the door swinging open, the update
+            # locks onto the opening arc and happily opens it all the way
+            # (traced in scripts/trace_close3.py). Closing must move the
+            # handle monotonically inward: when the displacement along the
+            # initial inward axis regresses >3 cm from its running PEAK
+            # (not the grasp start — slow re-opening after early progress
+            # stays net-positive for many steps), flip the push direction
+            # back along the arc.
+            net = new_p - start_p
+            net[:, 2] = 0.0
+            proj = (net * init_dir).sum(-1)
+            reopened = proj < peak - 0.03
+            peak = np.maximum(peak, proj)
+            cur_dir = np.where(reopened[:, None], -cur_dir, cur_dir)
 
 
 class CloseDrawerManipulation(CloseCabinetManipulation):

@@ -156,14 +156,24 @@ class SimViewSampler:
         else:
             entry = self._buffer[int(self.rng.integers(len(self._buffer)))]
         img1, img2, frames = entry
-        self.key, k1, k2 = jax.random.split(self.key, 3)
-        K = jnp.asarray(img1["Intrinsic"])
-        c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
-            jnp.asarray(img1["Color"], jnp.float32), jnp.asarray(img1["Mask"]),
-            K, k1, self.img_size, self.n_pts)
-        c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
-            jnp.asarray(img2["Color"], jnp.float32), jnp.asarray(img2["Mask"]),
-            K, k2, self.img_size, self.n_pts)
+        # Preprocess on the HOST CPU backend: shipping the raw 640x480 batch
+        # to the accelerator costs ~60 MB per view pair per step through the
+        # tunnel (measured as the dominant fixed cost of a train step — the
+        # render replay amortized everything else); prepping here means only
+        # the img_size^2 crops (+ points/labels) ever cross to the device,
+        # inside trainer.step. Keys stay host-side (numpy) so no input is
+        # committed to the accelerator.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            keys = jax.random.split(jnp.asarray(np.asarray(self.key)), 3)
+            self.key, k1, k2 = np.asarray(keys[0]), keys[1], keys[2]
+            K = jnp.asarray(img1["Intrinsic"])
+            c1, choose1, pts2d1, newK1, ok1 = prepare_model_input(
+                jnp.asarray(img1["Color"], jnp.float32),
+                jnp.asarray(img1["Mask"]), K, k1, self.img_size, self.n_pts)
+            c2, choose2, pts2d2, newK2, ok2 = prepare_model_input(
+                jnp.asarray(img2["Color"], jnp.float32),
+                jnp.asarray(img2["Mask"]), K, k2, self.img_size, self.n_pts)
         ok = np.asarray(ok1 & ok2)
         if not ok.any():
             return None
@@ -179,18 +189,20 @@ class SimViewSampler:
             return P
 
         B = self.env.num_envs
+        # numpy (uncommitted) values: the crops were computed on the CPU
+        # backend above, and committed-CPU inputs would pin trainer.step's
+        # jit off the accelerator
         batch = {
-            "img1": c1, "img2": c2,
-            "choose1": choose1, "choose2": choose2,
-            "P1": jnp.asarray(proj(newK1, img1["Extrinsic"])),
-            "P2": jnp.asarray(proj(newK2, img2["Extrinsic"])),
-            "depth_values": depth_hypotheses(B, self.d_min, self.d_interval,
-                                             self.n_depth),
-            "nocs1": jnp.asarray(nocs1), "nocs2": jnp.asarray(nocs2),
-            "depth1": jnp.asarray(depth1), "depth2": jnp.asarray(depth2),
-            "r1": jnp.asarray(r1), "r2": jnp.asarray(r2),
-            "t1": jnp.asarray(t1), "t2": jnp.asarray(t2),
-            "s1": jnp.asarray(s1), "s2": jnp.asarray(s2),
-            "valid": jnp.asarray(ok),
+            "img1": np.asarray(c1), "img2": np.asarray(c2),
+            "choose1": np.asarray(choose1), "choose2": np.asarray(choose2),
+            "P1": proj(newK1, img1["Extrinsic"]),
+            "P2": proj(newK2, img2["Extrinsic"]),
+            "depth_values": np.asarray(
+                depth_hypotheses(B, self.d_min, self.d_interval,
+                                 self.n_depth)),
+            "nocs1": nocs1, "nocs2": nocs2,
+            "depth1": depth1, "depth2": depth2,
+            "r1": r1, "r2": r2, "t1": t1, "t2": t2, "s1": s1, "s2": s2,
+            "valid": ok,
         }
         return batch

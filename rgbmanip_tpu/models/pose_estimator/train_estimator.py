@@ -27,7 +27,7 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
           n_pts: int = 1024, lr: float = 1e-4, save_path: str = "saves/estimator.ckpt",
           dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
           env=None, est_overrides: dict | None = None, reuse: int = 8,
-          resume: str = ""):
+          buffer_size: int = 32, resume: str = ""):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -52,6 +52,7 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
     trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
     sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
                              seed=cfg.get("seed", 0), reuse=reuse,
+                             buffer_size=buffer_size,
                              d_min=est.d_min, d_interval=est.d_interval,
                              n_depth=est.n_depth)
     writer = MetricsWriter("logs/estimator")
@@ -85,7 +86,7 @@ def main():
     local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
              "volume_scale", "warp_mode", "backend", "n_depth",
              "volume_channels", "backbone_stride", "d_interval", "d_min",
-             "reuse", "resume")
+             "reuse", "buffer_size", "resume")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -105,6 +106,7 @@ def main():
           save_path=kv.get("save", "saves/estimator.ckpt"),
           dtype=jnp.bfloat16 if kv.get("bf16", "1") != "0" else jnp.float32,
           est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)),
+          buffer_size=int(kv.get("buffer_size", 32)),
           resume=kv.get("resume", ""),
           log_every=int(kv.get("log_every", 10)))
 

@@ -23,8 +23,17 @@ IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
 
 # use the fused pallas crop-resize-normalize kernel on TPU (see
-# pallas_preprocess.py); the XLA gather path is the portable fallback
-_USE_PALLAS = jax.default_backend() == "tpu"
+# pallas_preprocess.py); the XLA gather path is the portable fallback.
+# Resolved per trace: under `with jax.default_device(cpu)` (the estimator
+# trainer preps batches host-side to avoid shipping raw 640x480 frames
+# through the device tunnel) the trace targets CPU even when the process
+# default backend is TPU, and Mosaic kernels must stay out of it. The
+# default-device context is part of jit's trace-cache key, so the branch
+# re-evaluates whenever the target changes.
+def _use_pallas() -> bool:
+    d = jax.config.jax_default_device
+    plat = d.platform if d is not None else jax.default_backend()
+    return plat == "tpu"
 
 
 def mask_bbox_batched(mask):
@@ -93,7 +102,7 @@ def prepare_model_input(rgb, mask, K, key, out_size: int = 224, n_pts: int = 102
     ratio = S / h                                                  # (B,)
 
     ii = jnp.arange(S, dtype=jnp.float32)[None]                    # (1, S)
-    if _USE_PALLAS:
+    if _use_pallas():
         from .pallas_preprocess import crop_resize_normalize
         crop = crop_resize_normalize(rgb, rmin.astype(jnp.float32),
                                      cmin.astype(jnp.float32), ratio,

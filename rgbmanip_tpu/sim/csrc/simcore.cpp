@@ -813,6 +813,11 @@ struct PlanContext {
   std::vector<CollSphere> rob_spheres;
   std::vector<Obb> obstacles;  // world-frame
   double ground_z = 0.0;
+  // (link, obstacle) pairs already in contact at the plan's START config:
+  // treated as allowed for the whole plan (the standard allowed-collision-
+  // matrix seeding), so grazing contact at the current pose doesn't doom
+  // every plan to the bulldozing straight-line fallback.
+  std::vector<std::pair<int, int>> allowed;
 };
 
 static void robot_collision_spheres(EnvSim& e, std::vector<CollSphere>* out) {
@@ -864,18 +869,45 @@ static bool config_in_collision(PlanContext& ctx, const double* q7,
       if (hit_obs) { *hit_obs = -1; }  // ground
       break;
     }
-    for (size_t bi = 0; bi < ctx.obstacles.size(); bi++)
+    for (size_t bi = 0; bi < ctx.obstacles.size(); bi++) {
+      bool skip = false;
+      for (const auto& a : ctx.allowed)
+        if (a.first == s.link && a.second == (int)bi) { skip = true; break; }
+      if (skip) continue;
       if (sphere_obb_hit(c, s.r, ctx.obstacles[bi])) {
         hit = true;
         if (hit_link) { *hit_link = s.link; }
         if (hit_obs) { *hit_obs = (int)bi; }
         break;
       }
+    }
     if (hit) break;
   }
   r.q = save;
   r.fk();
   return hit;
+}
+
+// Seed ctx.allowed with every (link, obstacle) pair in contact at q7.
+static void seed_allowed_collisions(PlanContext& ctx, const double* q7) {
+  Articulation& r = ctx.env->robot();
+  std::vector<double> save = r.q;
+  for (int i = 0; i < ctx.env->n_arm; i++) r.q[i] = q7[i];
+  r.fk();
+  ctx.allowed.clear();
+  for (const CollSphere& s : ctx.rob_spheres) {
+    Vec3 c = r.link_pose[s.link].apply(s.local);
+    for (size_t bi = 0; bi < ctx.obstacles.size(); bi++)
+      if (sphere_obb_hit(c, s.r, ctx.obstacles[bi])) {
+        std::pair<int, int> p{s.link, (int)bi};
+        bool dup = false;
+        for (const auto& a : ctx.allowed)
+          if (a == p) { dup = true; break; }
+        if (!dup) ctx.allowed.push_back(p);
+      }
+  }
+  r.q = save;
+  r.fk();
 }
 
 static bool segment_free(PlanContext& ctx, const std::vector<double>& a,
@@ -1214,12 +1246,27 @@ static void build_obstacles(EnvSim& e, bool use_wall, PlanContext* ctx) {
   for (size_t ai = 0; ai < e.arts.size(); ai++) {
     if ((int)ai == e.robot_art) continue;
     Articulation& art = e.arts[ai];
+    // Plan-time inflation of the MOVABLE part's shapes (door/drawer/lid):
+    // PD waypoint tracking deviates from the planned path by up to ~2 cm,
+    // and a plan that grazes the free-swinging part knocks it across its
+    // range (push-coupling) so the grasp misses. The static body is left
+    // tight — contact-stop halts the arm against it harmlessly.
+    std::vector<char> in_part(art.links.size(), 0);
+    if ((int)ai == e.gcfg.obj_art && e.gcfg.part_link >= 0)
+      for (size_t li = 0; li < art.links.size(); li++) {
+        int a = (int)li;
+        while (a >= 0) {
+          if (a == e.gcfg.part_link) { in_part[li] = 1; break; }
+          a = art.links[a].parent;
+        }
+      }
     for (size_t li = 0; li < art.links.size(); li++)
       for (const Shape& s : art.links[li].shapes) {
         if (!s.collide) continue;
         Vec3 h = s.kind == S_BOX ? s.params
                : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
                : Vec3{s.params.x, s.params.x, s.params.y};
+        if (in_part[li]) h = {h.x + 0.02, h.y + 0.02, h.z + 0.02};
         ctx->obstacles.push_back({art.link_pose[li] * s.local, h});
       }
   }
@@ -1558,17 +1605,55 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
         build_obstacles(e, false, &nowall);
         if (!config_in_collision(nowall, qcur.data())) ctx = nowall;
       }
+      // contacts still present at the start config (e.g. the hand resting
+      // against the cabinet after a previous move) become allowed pairs —
+      // otherwise the start is "in collision", RRT refuses, and the
+      // straight-line fallback rams whatever is in the way
+      if (config_in_collision(ctx, qcur.data()))
+        seed_allowed_collisions(ctx, qcur.data());
     }
     // collision-aware goal selection: retry IK until the goal config is
     // collision-free (mplib's plan() does IK + validity internally)
     double goal[7];
     std::vector<double> q0(r.q.begin(), r.q.begin() + e.n_arm);
-    bool goal_ok = false, ik_ok = false;
-    for (int attempt = 0; attempt < 4 && !goal_ok; attempt++) {
-      if (!e.dls_ik(target, attempt == 0 ? q0.data() : nullptr, goal, 200, 0.08, 1e-4))
-        continue;
-      ik_ok = true;
-      goal_ok = !config_in_collision(ctx, goal);
+    auto find_goal = [&](const Pose& tgt, bool* any_ik) -> bool {
+      for (int attempt = 0; attempt < 4; attempt++) {
+        if (!e.dls_ik(tgt, attempt == 0 ? q0.data() : nullptr, goal, 200,
+                      0.08, 1e-4))
+          continue;
+        if (any_ik) *any_ik = true;
+        if (!config_in_collision(ctx, goal)) return true;
+      }
+      return false;
+    };
+    bool ik_ok = false;
+    bool goal_ok = find_goal(target, &ik_ok);
+    // Every IK solution collides. Two rescue tiers before the straight-line
+    // fallback (which bulldozes whatever stands between — with an open door
+    // in the goal region it shoves the part to its joint limit and the
+    // grasp misses; the close_* tasks hit this on most episodes):
+    //  (1) goals valid against REAL geometry but inside the VIRTUAL wall —
+    //      drop the wall, mirroring the start-config logic above;
+    //  (2) goals inside real geometry — retreat the target along its own
+    //      approach (-z hand) axis and plan to the nearest collision-free
+    //      standoff; the caller's next (ik) leg covers the difference
+    //      gently instead of the fallback ramming the full distance.
+    if (!goal_ok && ik_ok && use_wall) {
+      PlanContext nowall;
+      build_obstacles(e, false, &nowall);
+      PlanContext walled = ctx;
+      ctx = nowall;
+      goal_ok = find_goal(target, nullptr);
+      if (!goal_ok) ctx = walled;
+    }
+    if (!goal_ok && ik_ok) {
+      const double backs[3] = {0.08, 0.16, 0.26};
+      Vec3 fwd = target.q.rotate(Vec3{0, 0, 1});
+      for (int bi = 0; bi < 3 && !goal_ok; bi++) {
+        Pose t2 = target;
+        t2.p = target.p - fwd * backs[bi];
+        goal_ok = find_goal(t2, nullptr);  // goal[] holds the standoff config
+      }
     }
     if (!goal_ok) {
       if (plan_debug) {
