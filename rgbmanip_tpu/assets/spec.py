@@ -15,7 +15,7 @@ import numpy as np
 from ..utils.transform import axis_angle_to_quat, quat_mul
 
 J_FIXED, J_REVOLUTE, J_PRISMATIC = 0, 1, 2
-S_BOX, S_SPHERE, S_CYLINDER = 0, 1, 2
+S_BOX, S_SPHERE, S_CYLINDER, S_MESH = 0, 1, 2, 3
 
 
 def rpy_to_quat(roll: float, pitch: float, yaw: float) -> np.ndarray:
@@ -39,6 +39,7 @@ class ShapeSpec:
     color: tuple = (0.7, 0.7, 0.7)
     visual_id: int = 0
     collide: bool = True
+    mesh: int = -1  # S_MESH: registered mesh id (assets.objmesh.register_obj)
 
 
 @dataclass

@@ -12,12 +12,14 @@ This parser maps the same files onto the C++ simcore's articulation spec:
 - ``continuous`` joints become revolute with wide limits;
 - box / cylinder / sphere geometries map 1:1 (URDF box size is full
   extents -> half extents; cylinder length -> half height);
-- mesh geometries have no loader in-image: they resolve through the
-  ``mesh_bounds`` callback (path, scale) -> (center, half_extents) so
-  callers can supply precomputed AABBs (PartNet meshes ship with bounding
-  boxes in the reference's dataset yamls); otherwise the shape is skipped
-  with a warning and the link stays massless-collisionless, matching how
-  the reference treats pure-visual links.
+- mesh geometries (.obj) load as REAL triangle meshes into the C++ core's
+  BVH registry (``assets.objmesh``) — exact collision, raycast rendering,
+  and gt part bboxes, like SAPIEN's native mesh path; the ``mesh_bounds``
+  callback (path, scale) -> (center, half_extents) remains as a fallback
+  for non-obj formats or when ``load_meshes=False`` (shape becomes its
+  AABB box); with neither, the shape is skipped with a warning and the
+  link stays massless-collisionless, matching how the reference treats
+  pure-visual links.
 
 Links are re-ordered topologically (the C++ core requires parent index <
 child index). Per-link segmentation ids and drive gains are caller
@@ -34,7 +36,8 @@ from typing import Callable, Dict, Optional, Tuple
 import numpy as np
 
 from .spec import (ArticulationSpec, LinkSpec, ShapeSpec, J_FIXED, J_PRISMATIC,
-                   J_REVOLUTE, S_BOX, S_CYLINDER, S_SPHERE, pose7, rpy_to_quat)
+                   J_REVOLUTE, S_BOX, S_CYLINDER, S_MESH, S_SPHERE, pose7,
+                   rpy_to_quat)
 
 _JOINT_TYPES = {"fixed": J_FIXED, "revolute": J_REVOLUTE,
                 "prismatic": J_PRISMATIC, "continuous": J_REVOLUTE}
@@ -57,7 +60,8 @@ def _origin_pose(el: Optional[ET.Element]) -> np.ndarray:
 
 def _shapes_from(link_el: ET.Element, collide: bool, visual_id: int,
                  color: Tuple[float, float, float],
-                 mesh_bounds: Optional[Callable], urdf_dir: str, log=None):
+                 mesh_bounds: Optional[Callable], urdf_dir: str, log=None,
+                 load_meshes: bool = True):
     shapes = []
     tag = "collision" if collide else "visual"
     for el in link_el.findall(tag):
@@ -91,9 +95,33 @@ def _shapes_from(link_el: ET.Element, collide: bool, visual_id: int,
         elif mesh is not None:
             fname = mesh.get("filename", "")
             scale = _floats(mesh.get("scale"), 3, 1.0)
+            mpath = os.path.join(urdf_dir, fname)
+            # true triangle geometry first: .obj meshes load into the C++
+            # BVH registry (collision, raycast render, gt bboxes all exact)
+            if load_meshes and mpath.lower().endswith(".obj") \
+                    and os.path.exists(mpath):
+                from .objmesh import register_obj
+                try:
+                    mid = register_obj(mpath, scale)
+                except (ValueError, OSError) as e:
+                    if log is not None:
+                        log.warning(f"urdf: mesh {fname!r} failed to load "
+                                    f"({e}); trying AABB fallback")
+                    mid = -1
+                if mid >= 0:
+                    # params mirror the mesh's local AABB half extents so
+                    # Python-side conservative-AABB consumers
+                    # (urdf_object._shape_aabb_half) keep working; the AABB
+                    # center offset is queried via objmesh.mesh_aabb.
+                    from .objmesh import mesh_aabb
+                    mlo, mhi, _ = mesh_aabb(mid)
+                    shapes.append(ShapeSpec(S_MESH, tuple((mhi - mlo) / 2),
+                                            local, color, vid, collide,
+                                            mesh=mid))
+                    continue
             bounds = None
             if mesh_bounds is not None:
-                bounds = mesh_bounds(os.path.join(urdf_dir, fname), scale)
+                bounds = mesh_bounds(mpath, scale)
             if bounds is None:
                 if log is not None:
                     log.warning(f"urdf: no bounds for mesh {fname!r}; skipped")
@@ -116,6 +144,7 @@ def load_urdf(path: str,
               mesh_bounds: Optional[Callable] = None,
               use_visual_as_collision: bool = False,
               prefer_visual_shapes: bool = False,
+              load_meshes: bool = True,
               log=None) -> ArticulationSpec:
     """Parse a URDF file into an ArticulationSpec.
 
@@ -123,7 +152,9 @@ def load_urdf(path: str,
     reference ``open_cabinet.py:129-144`` id convention).
     drive: joint name -> (stiffness, damping) drive gains.
     mesh_bounds: (abs mesh path, scale[3]) -> (center[3], half_extents[3])
-    or None; consulted for mesh geometries.
+    or None; consulted for mesh geometries when true mesh loading is off or
+    fails. load_meshes: parse .obj files into real triangle geometry
+    (BVH-backed collision/raycast in the C++ core); default on.
     """
     tree = ET.parse(path)
     robot = tree.getroot()
@@ -174,17 +205,18 @@ def load_urdf(path: str,
             # the seg-id convention needs, collisions are unnamed duplicates —
             # use the visual set for BOTH rendering and collision
             shapes = _shapes_from(el, False, vid, color, mesh_bounds,
-                                  urdf_dir, log)
+                                  urdf_dir, log, load_meshes)
             for s in shapes:
                 s.collide = True
             if not shapes:
                 shapes = _shapes_from(el, True, vid, color, mesh_bounds,
-                                      urdf_dir, log)
+                                      urdf_dir, log, load_meshes)
         else:
-            shapes = _shapes_from(el, True, vid, color, mesh_bounds, urdf_dir, log)
+            shapes = _shapes_from(el, True, vid, color, mesh_bounds, urdf_dir,
+                                  log, load_meshes)
             if not shapes and use_visual_as_collision:
                 shapes = _shapes_from(el, False, vid, color, mesh_bounds,
-                                      urdf_dir, log)
+                                      urdf_dir, log, load_meshes)
                 for s in shapes:
                     s.collide = True
         if name == order[0]:

@@ -67,7 +67,7 @@ def load_object_urdf(path: str, active_link: str, category: str = "urdf",
     for li, link in enumerate(spec.links):
         for s in link.shapes:
             p, q = poses[li]
-            sp = p + quat_rotate(q, np.asarray(s.local[:3]))
+            sp = p + quat_rotate(q, _shape_center_local(s))
             half = np.asarray(_shape_aabb_half(s))
             lo = np.minimum(lo, sp - half)
             hi = np.maximum(hi, sp + half)
@@ -128,7 +128,7 @@ def _canonicalize_active_link(spec: ArticulationSpec, part_idx: int) -> None:
     for li, l in enumerate(spec.links):
         p, q = poses[li]
         for s in l.shapes:
-            c = p + quat_rotate(q, np.asarray(s.local[:3]))
+            c = p + quat_rotate(q, _shape_center_local(s))
             half = _shape_aabb_half(s)
             lo = np.minimum(lo, c - half)
             hi = np.maximum(hi, c + half)
@@ -209,13 +209,24 @@ def _quat_from_mat(m):
 
 
 def _shape_aabb_half(s):
-    from .spec import S_BOX, S_CYLINDER, S_SPHERE
+    from .spec import S_BOX, S_MESH, S_SPHERE
     p = np.asarray(s.params, np.float64)
-    if s.kind == S_BOX:
+    if s.kind in (S_BOX, S_MESH):   # mesh params mirror its local AABB half
         return p[:3]
     if s.kind == S_SPHERE:
         return np.array([p[0]] * 3)
     return np.array([p[0], p[0], p[1]])   # cylinder (conservative, no rot)
+
+
+def _shape_center_local(s):
+    """Shape AABB center in the LINK frame (meshes are not origin-centered)."""
+    loc = np.asarray(s.local, np.float64)
+    from .spec import S_MESH
+    if s.kind == S_MESH:
+        from .objmesh import mesh_aabb
+        lo, hi, _ = mesh_aabb(s.mesh)
+        return loc[:3] + quat_rotate(loc[3:], (lo + hi) / 2)
+    return loc[:3]
 
 
 def _fk_zero(spec: ArticulationSpec):

@@ -62,6 +62,10 @@ def get_lib() -> C.CDLL:
                              C.c_double, C.c_double], C.c_int),
         "sc_link_add_shape": ([vp, C.c_int, C.c_int, C.c_int, C.c_int, d, d, d,
                                C.c_int, C.c_int], None),
+        "sc_mesh_register": ([d, C.c_int, i32, C.c_int], C.c_int),
+        "sc_mesh_stats": ([C.c_int, d, d], C.c_int),
+        "sc_link_add_mesh": ([vp, C.c_int, C.c_int, C.c_int, C.c_int, d, d,
+                              C.c_int, C.c_int], None),
         "sc_art_finish": ([vp, C.c_int, C.c_int], None),
         "sc_set_robot": ([vp, C.c_int, C.c_int, C.c_int, C.c_int], None),
         "sc_set_grasp_config": ([vp, C.c_int, C.c_int, C.c_int, C.c_int,

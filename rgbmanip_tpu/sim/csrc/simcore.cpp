@@ -20,7 +20,9 @@
 
 #include "math3d.h"
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -125,7 +127,211 @@ class ThreadPool {
 // ---------------------------------------------------------------------------
 
 enum JointType { J_FIXED = 0, J_REVOLUTE = 1, J_PRISMATIC = 2 };
-enum ShapeKind { S_BOX = 0, S_SPHERE = 1, S_CYLINDER = 2 };
+enum ShapeKind { S_BOX = 0, S_SPHERE = 1, S_CYLINDER = 2, S_MESH = 3 };
+
+// ---------------------------------------------------------------------------
+// Triangle meshes (PartNet-Mobility .obj geometry; replaces SAPIEN's
+// mesh collision/rendering, reference utils/sapien_utils.py:90-172 reads
+// part meshes for gt bboxes and SAPIEN renders/collides them natively).
+// Meshes are immutable after registration and shared read-only by every
+// env/thread, so they live in a process-global registry.
+// ---------------------------------------------------------------------------
+
+struct BvhNode {
+  Vec3 lo, hi;
+  int left = -1, right = -1;  // internal: children; leaf: left == -1
+  int start = 0, count = 0;   // leaf: range into TriMesh::order
+};
+
+struct TriMesh {
+  std::vector<Vec3> v;
+  std::vector<int> f;      // 3 * ntri vertex indices
+  std::vector<int> order;  // triangle permutation referenced by BVH leaves
+  std::vector<BvhNode> nodes;
+  Vec3 lo{0, 0, 0}, hi{0, 0, 0};  // whole-mesh local AABB
+
+  Vec3 tri_vert(int tri, int k) const { return v[f[3 * tri + k]]; }
+
+  int build_node(std::vector<Vec3>& cent, int start, int count) {
+    BvhNode node;
+    node.lo = {1e18, 1e18, 1e18};
+    node.hi = {-1e18, -1e18, -1e18};
+    for (int i = start; i < start + count; i++)
+      for (int k = 0; k < 3; k++) {
+        Vec3 p = tri_vert(order[i], k);
+        node.lo = vmin(node.lo, p);
+        node.hi = vmax(node.hi, p);
+      }
+    int idx = (int)nodes.size();
+    nodes.push_back(node);
+    if (count <= 4) {
+      nodes[idx].start = start;
+      nodes[idx].count = count;
+      return idx;
+    }
+    Vec3 ext = node.hi - node.lo;
+    int ax = 0;
+    if (ext.y > ext[ax]) ax = 1;
+    if (ext.z > ext[ax]) ax = 2;
+    int mid = start + count / 2;
+    std::nth_element(order.begin() + start, order.begin() + mid,
+                     order.begin() + start + count,
+                     [&](int a, int b) { return cent[a][ax] < cent[b][ax]; });
+    int l = build_node(cent, start, count / 2);
+    int r = build_node(cent, mid, count - count / 2);
+    nodes[idx].left = l;
+    nodes[idx].right = r;
+    return idx;
+  }
+
+  void finish() {
+    int nt = (int)f.size() / 3;
+    order.resize(nt);
+    std::vector<Vec3> cent(nt);
+    for (int t = 0; t < nt; t++) {
+      order[t] = t;
+      cent[t] = (tri_vert(t, 0) + tri_vert(t, 1) + tri_vert(t, 2)) * (1.0 / 3);
+    }
+    nodes.clear();
+    nodes.reserve(2 * nt);
+    if (nt > 0) build_node(cent, 0, nt);
+    lo = {1e18, 1e18, 1e18};
+    hi = {-1e18, -1e18, -1e18};
+    for (const Vec3& p : v) { lo = vmin(lo, p); hi = vmax(hi, p); }
+    if (v.empty()) lo = hi = {0, 0, 0};
+  }
+};
+
+static std::vector<TriMesh*> g_meshes;
+static std::mutex g_mesh_mu;
+
+static double point_aabb_dist2(const Vec3& p, const Vec3& lo, const Vec3& hi) {
+  double d2 = 0;
+  for (int k = 0; k < 3; k++) {
+    double d = p[k] < lo[k] ? lo[k] - p[k] : (p[k] > hi[k] ? p[k] - hi[k] : 0);
+    d2 += d * d;
+  }
+  return d2;
+}
+
+static Vec3 closest_point_tri(const Vec3& p, const Vec3& a, const Vec3& b,
+                              const Vec3& c) {
+  // Ericson, Real-Time Collision Detection 5.1.5
+  Vec3 ab = b - a, ac = c - a, ap = p - a;
+  double d1 = ab.dot(ap), d2 = ac.dot(ap);
+  if (d1 <= 0 && d2 <= 0) return a;
+  Vec3 bp = p - b;
+  double d3 = ab.dot(bp), d4 = ac.dot(bp);
+  if (d3 >= 0 && d4 <= d3) return b;
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) return a + ab * (d1 / (d1 - d3));
+  Vec3 cp = p - c;
+  double d5 = ab.dot(cp), d6 = ac.dot(cp);
+  if (d6 >= 0 && d5 <= d6) return c;
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) return a + ac * (d2 / (d2 - d6));
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0)
+    return b + (c - b) * ((d4 - d3) / ((d4 - d3) + (d5 - d6)));
+  double denom = 1.0 / (va + vb + vc);
+  return a + ab * (vb * denom) + ac * (vc * denom);
+}
+
+// Closest surface point within max_dist of p (local frame). Returns squared
+// distance (or >= max_dist^2 when nothing qualifies); *out gets the point.
+static double mesh_closest2(const TriMesh& m, const Vec3& p, double max_dist,
+                            Vec3* out, int node = 0) {
+  if (m.nodes.empty()) return max_dist * max_dist;
+  const BvhNode& n = m.nodes[node];
+  double best2 = max_dist * max_dist;
+  if (point_aabb_dist2(p, n.lo, n.hi) >= best2) return best2;
+  if (n.left < 0) {
+    for (int i = n.start; i < n.start + n.count; i++) {
+      int t = m.order[i];
+      Vec3 c = closest_point_tri(p, m.tri_vert(t, 0), m.tri_vert(t, 1),
+                                 m.tri_vert(t, 2));
+      double d2 = (p - c).dot(p - c);
+      if (d2 < best2) { best2 = d2; *out = c; }
+    }
+    return best2;
+  }
+  // visit the nearer child first so its result prunes the farther one
+  double dl = point_aabb_dist2(p, m.nodes[n.left].lo, m.nodes[n.left].hi);
+  double dr = point_aabb_dist2(p, m.nodes[n.right].lo, m.nodes[n.right].hi);
+  int first = dl <= dr ? n.left : n.right;
+  int second = dl <= dr ? n.right : n.left;
+  Vec3 c1, c2;
+  double b1 = mesh_closest2(m, p, std::sqrt(best2), &c1, first);
+  if (b1 < best2) { best2 = b1; *out = c1; }
+  double b2 = mesh_closest2(m, p, std::sqrt(best2), &c2, second);
+  if (b2 < best2) { best2 = b2; *out = c2; }
+  return best2;
+}
+
+static bool ray_aabb(const Vec3& o, const Vec3& d, const Vec3& lo,
+                     const Vec3& hi, double tmax) {
+  double t0 = 1e-9, t1 = tmax;
+  for (int k = 0; k < 3; k++) {
+    double dk = d[k];
+    if (std::fabs(dk) < 1e-12) {
+      if (o[k] < lo[k] || o[k] > hi[k]) return false;
+      continue;
+    }
+    double inv = 1.0 / dk;
+    double ta = (lo[k] - o[k]) * inv, tb = (hi[k] - o[k]) * inv;
+    if (ta > tb) std::swap(ta, tb);
+    t0 = std::max(t0, ta);
+    t1 = std::min(t1, tb);
+    if (t0 > t1) return false;
+  }
+  return true;
+}
+
+// Nearest ray-mesh hit in the mesh local frame (Moller-Trumbore per leaf
+// triangle under BVH traversal). Normal is oriented against the ray.
+static bool mesh_ray(const TriMesh& m, const Vec3& o, const Vec3& d,
+                     double* t_out, Vec3* n_out, int node = 0,
+                     double tmax = 1e18) {
+  if (m.nodes.empty()) return false;
+  const BvhNode& n = m.nodes[node];
+  if (!ray_aabb(o, d, n.lo, n.hi, tmax)) return false;
+  bool hit = false;
+  double best = tmax;
+  if (n.left < 0) {
+    for (int i = n.start; i < n.start + n.count; i++) {
+      int t = m.order[i];
+      Vec3 a = m.tri_vert(t, 0);
+      Vec3 e1 = m.tri_vert(t, 1) - a, e2 = m.tri_vert(t, 2) - a;
+      Vec3 pv = d.cross(e2);
+      double det = e1.dot(pv);
+      if (std::fabs(det) < 1e-14) continue;
+      double inv = 1.0 / det;
+      Vec3 tv = o - a;
+      double u = tv.dot(pv) * inv;
+      if (u < -1e-9 || u > 1 + 1e-9) continue;
+      Vec3 qv = tv.cross(e1);
+      double vv = d.dot(qv) * inv;
+      if (vv < -1e-9 || u + vv > 1 + 1e-9) continue;
+      double tt = e2.dot(qv) * inv;
+      if (tt <= 1e-9 || tt >= best) continue;
+      best = tt;
+      Vec3 nn = e1.cross(e2).normalized();
+      if (nn.dot(d) > 0) nn = -nn;
+      *n_out = nn;
+      hit = true;
+    }
+    if (hit) *t_out = best;
+    return hit;
+  }
+  double tl, tr;
+  Vec3 nl, nr;
+  bool hl = mesh_ray(m, o, d, &tl, &nl, n.left, best);
+  if (hl) best = tl;
+  bool hr = mesh_ray(m, o, d, &tr, &nr, n.right, best);
+  if (hr) { *t_out = tr; *n_out = nr; return true; }
+  if (hl) { *t_out = tl; *n_out = nl; return true; }
+  return false;
+}
 
 struct Shape {
   int kind = S_BOX;
@@ -134,7 +340,72 @@ struct Shape {
   Vec3 color{0.7, 0.7, 0.7};
   int visual_id = 0;
   bool collide = true;
+  int mesh = -1;  // S_MESH: index into g_meshes
+
+  const TriMesh& trimesh() const { return *g_meshes[mesh]; }
+  // conservative local AABB of the shape IN ITS OWN FRAME: center + half.
+  // Primitive frames are centered; mesh AABBs have an arbitrary center.
+  Vec3 aabb_center() const {
+    if (kind != S_MESH) return {0, 0, 0};
+    const TriMesh& m = trimesh();
+    return (m.lo + m.hi) * 0.5;
+  }
+  Vec3 aabb_half() const {
+    if (kind == S_BOX) return params;
+    if (kind == S_SPHERE) return {params.x, params.x, params.x};
+    if (kind == S_CYLINDER) return {params.x, params.x, params.y};
+    const TriMesh& m = trimesh();
+    return (m.hi - m.lo) * 0.5;
+  }
 };
+
+// Sphere-vs-shape contact (shape frame pose sp_world). Primitives test
+// against the conservative centered box (the pre-mesh behavior); meshes test
+// against the real triangles through the BVH. Returns penetration depth and
+// the world-frame outward normal (surface -> sphere center) when requested.
+static bool sphere_shape_contact(const Shape& s, const Pose& sp_world,
+                                 const Vec3& center, double radius,
+                                 Vec3* normal_out = nullptr,
+                                 double* pen_out = nullptr) {
+  Vec3 l = sp_world.apply_inv(center);
+  if (s.kind == S_MESH) {
+    const TriMesh& m = s.trimesh();
+    if (point_aabb_dist2(l, m.lo, m.hi) >= radius * radius) return false;
+    Vec3 cl;
+    double d2 = mesh_closest2(m, l, radius, &cl);
+    if (d2 >= radius * radius) return false;
+    double d = std::sqrt(d2);
+    if (normal_out) {
+      Vec3 n_local = d > 1e-9 ? (l - cl) * (1.0 / d)
+                              : Vec3{0, 0, 1};  // center on the surface
+      *normal_out = sp_world.q.rotate(n_local);
+    }
+    if (pen_out) *pen_out = radius - d;
+    return true;
+  }
+  Vec3 hh = s.aabb_half();
+  Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
+          std::max(-hh.y, std::min(hh.y, l.y)),
+          std::max(-hh.z, std::min(hh.z, l.z))};
+  double d = (l - cl).norm();
+  if (d >= radius) return false;
+  if (normal_out) {
+    Vec3 n_local;
+    if (d > 1e-9) {
+      n_local = (l - cl) * (1.0 / d);
+    } else {
+      // center inside the box: outward along the nearest face
+      double dx = hh.x - std::fabs(l.x), dy = hh.y - std::fabs(l.y),
+             dz = hh.z - std::fabs(l.z);
+      if (dx <= dy && dx <= dz) n_local = {l.x >= 0 ? 1.0 : -1.0, 0, 0};
+      else if (dy <= dz)        n_local = {0, l.y >= 0 ? 1.0 : -1.0, 0};
+      else                      n_local = {0, 0, l.z >= 0 ? 1.0 : -1.0};
+    }
+    *normal_out = sp_world.q.rotate(n_local);
+  }
+  if (pen_out) *pen_out = radius - d;
+  return true;
+}
 
 struct Link {
   int parent = -1;
@@ -258,15 +529,14 @@ struct EnvSim {
     Vec3 lo{1e18, 1e18, 1e18}, hi{-1e18, -1e18, -1e18};
     for (const Shape& s : arts[art_i].links[link_i].shapes) {
       if (vid >= 0 && s.visual_id != vid) continue;
-      // conservative AABB of the shape in link frame
-      Vec3 half;
-      if (s.kind == S_BOX) half = s.params;
-      else if (s.kind == S_SPHERE) half = {s.params.x, s.params.x, s.params.x};
-      else half = {s.params.x, s.params.x, s.params.y};
+      // conservative AABB of the shape in link frame (meshes: true vertex
+      // AABB about its own center, not the frame origin)
+      Vec3 half = s.aabb_half(), c0 = s.aabb_center();
       for (int cx = -1; cx <= 1; cx += 2)
         for (int cy = -1; cy <= 1; cy += 2)
           for (int cz = -1; cz <= 1; cz += 2) {
-            Vec3 corner = s.local.apply({half.x * cx, half.y * cy, half.z * cz});
+            Vec3 corner = s.local.apply(
+                c0 + Vec3{half.x * cx, half.y * cy, half.z * cz});
             lo = vmin(lo, corner);
             hi = vmax(hi, corner);
           }
@@ -304,13 +574,12 @@ struct EnvSim {
     Pose sw = sweep_pose();
     for (const Shape& s : obj.links[gcfg.part_link].shapes) {
       if (s.visual_id != gcfg.grasp_visual_id) continue;
-      Vec3 h = s.kind == S_BOX ? s.params
-             : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
-             : Vec3{s.params.x, s.params.x, s.params.y};
+      Vec3 h = s.aabb_half();
       double thin = std::min(h.x, std::min(h.y, h.z)) * 2.0;
       if (thin > gcfg.max_aperture) continue;
       Vec3 hexp = h + Vec3{1, 1, 1} * (gcfg.grasp_margin * 0.3);
-      if (!obb_overlap(sw, sweep_half(), part * s.local, hexp)) continue;
+      Pose sp = part * s.local * Pose{s.aabb_center(), Quat{}};
+      if (!obb_overlap(sw, sweep_half(), sp, hexp)) continue;
       grasp.grasped = true;
       grasp.slip_count = 0;
       grasp.rel_ph = part.inv() * hand_pose();
@@ -496,34 +765,16 @@ struct EnvSim {
       if (!in_part[li]) continue;
       for (const Shape& s : obj.links[li].shapes) {
         if (!s.collide) continue;
-        Vec3 hh = s.kind == S_BOX ? s.params
-                : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
-                : Vec3{s.params.x, s.params.x, s.params.y};
         Pose sp = obj.link_pose[li] * s.local;
         for (const GS& g : sph) {
-          Vec3 l = sp.apply_inv(g.p);
-          Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
-                  std::max(-hh.y, std::min(hh.y, l.y)),
-                  std::max(-hh.z, std::min(hh.z, l.z))};
-          double d = (l - cl).norm();
-          if (d < g.radius) {
+          Vec3 n;
+          double pen;
+          if (sphere_shape_contact(s, sp, g.p, g.radius, &n, &pen)) {
             any = true;
             if (!normal_out) return true;
-            double pen = g.radius - d;
             if (pen > best_pen) {
               best_pen = pen;
-              Vec3 n_local;
-              if (d > 1e-9) {
-                n_local = (l - cl) * (1.0 / d);
-              } else {
-                // center inside the box: outward along the nearest face
-                double dx = hh.x - std::fabs(l.x), dy = hh.y - std::fabs(l.y),
-                       dz = hh.z - std::fabs(l.z);
-                if (dx <= dy && dx <= dz) n_local = {l.x >= 0 ? 1.0 : -1.0, 0, 0};
-                else if (dy <= dz)        n_local = {0, l.y >= 0 ? 1.0 : -1.0, 0};
-                else                      n_local = {0, 0, l.z >= 0 ? 1.0 : -1.0};
-              }
-              *normal_out = sp.q.rotate(n_local);
+              *normal_out = n;
             }
           }
         }
@@ -583,17 +834,9 @@ struct EnvSim {
     for (size_t li = 0; li < obj.links.size(); li++) {
       for (const Shape& s : obj.links[li].shapes) {
         if (!s.collide) continue;
-        Vec3 hh = s.kind == S_BOX ? s.params
-                : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
-                : Vec3{s.params.x, s.params.x, s.params.y};
         Pose sp = obj.link_pose[li] * s.local;
-        for (const GS& g : sph) {
-          Vec3 l = sp.apply_inv(g.p);
-          Vec3 cl{std::max(-hh.x, std::min(hh.x, l.x)),
-                  std::max(-hh.y, std::min(hh.y, l.y)),
-                  std::max(-hh.z, std::min(hh.z, l.z))};
-          if ((l - cl).norm() < g.radius) return true;
-        }
+        for (const GS& g : sph)
+          if (sphere_shape_contact(s, sp, g.p, g.radius)) return true;
       }
     }
     return false;
@@ -825,9 +1068,8 @@ static void robot_collision_spheres(EnvSim& e, std::vector<CollSphere>* out) {
   for (size_t li = 0; li < r.links.size(); li++) {
     for (const Shape& s : r.links[li].shapes) {
       if (!s.collide) continue;
-      Vec3 h = s.kind == S_BOX ? s.params
-             : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
-             : Vec3{s.params.x, s.params.x, s.params.y};
+      Vec3 h = s.aabb_half();
+      Vec3 c0 = s.aabb_center();  // primitives: origin; meshes: AABB center
       // subdivide the longest axis into spheres of the next-largest half-dim
       int ax = 0;
       if (h.y > h[ax]) ax = 1;
@@ -838,8 +1080,8 @@ static void robot_collision_spheres(EnvSim& e, std::vector<CollSphere>* out) {
       int n = std::max(1, (int)std::ceil(h[ax] / radius));
       for (int i = 0; i < n; i++) {
         double c = n == 1 ? 0.0 : -h[ax] + (2.0 * h[ax]) * (i + 0.5) / n;
-        Vec3 lp{0, 0, 0};
-        if (ax == 0) lp.x = c; else if (ax == 1) lp.y = c; else lp.z = c;
+        Vec3 lp = c0;
+        if (ax == 0) lp.x += c; else if (ax == 1) lp.y += c; else lp.z += c;
         out->push_back({(int)li, s.local.apply(lp), radius});
       }
     }
@@ -1171,6 +1413,7 @@ static void render_env(EnvSim& e, const Pose& cam, int W, int H, double fovy,
         bool h = false;
         if (ws.s->kind == S_BOX) h = ray_box(lo, ld, ws.s->params, &t, &n);
         else if (ws.s->kind == S_SPHERE) h = ray_sphere(lo, ld, ws.s->params.x, &t, &n);
+        else if (ws.s->kind == S_MESH) h = mesh_ray(ws.s->trimesh(), lo, ld, &t, &n);
         else h = ray_cylinder(lo, ld, ws.s->params.x, ws.s->params.y, &t, &n);
         if (h && t < hit.t) {
           hit.t = t;
@@ -1263,11 +1506,33 @@ static void build_obstacles(EnvSim& e, bool use_wall, PlanContext* ctx) {
     for (size_t li = 0; li < art.links.size(); li++)
       for (const Shape& s : art.links[li].shapes) {
         if (!s.collide) continue;
-        Vec3 h = s.kind == S_BOX ? s.params
-               : s.kind == S_SPHERE ? Vec3{s.params.x, s.params.x, s.params.x}
-               : Vec3{s.params.x, s.params.x, s.params.y};
-        if (in_part[li]) h = {h.x + 0.02, h.y + 0.02, h.z + 0.02};
-        ctx->obstacles.push_back({art.link_pose[li] * s.local, h});
+        double infl = in_part[li] ? 0.02 : 0.0;
+        Pose sp = art.link_pose[li] * s.local;
+        if (s.kind == S_MESH) {
+          // a single mesh AABB is far too conservative for concave parts
+          // (a cabinet shell's AABB swallows the whole handle region) —
+          // emit the BVH subtree boxes at depth <= 3 (<= 8 tight OBBs)
+          const TriMesh& m = s.trimesh();
+          if (m.nodes.empty()) continue;
+          struct QI { int node, depth; };
+          std::vector<QI> stack{{0, 0}};
+          while (!stack.empty()) {
+            QI qi = stack.back();
+            stack.pop_back();
+            const BvhNode& bn = m.nodes[qi.node];
+            if (bn.left >= 0 && qi.depth < 3) {
+              stack.push_back({bn.left, qi.depth + 1});
+              stack.push_back({bn.right, qi.depth + 1});
+              continue;
+            }
+            Vec3 c0 = (bn.lo + bn.hi) * 0.5;
+            Vec3 h = (bn.hi - bn.lo) * 0.5 + Vec3{infl, infl, infl};
+            ctx->obstacles.push_back({sp * Pose{c0, Quat{}}, h});
+          }
+          continue;
+        }
+        Vec3 h = s.aabb_half() + Vec3{infl, infl, infl};
+        ctx->obstacles.push_back({sp, h});
       }
   }
   if (use_wall && e.gcfg.obj_art >= 0) {
@@ -1372,6 +1637,45 @@ void sc_link_add_shape(void* p, int env, int art, int link, int kind,
   Shape s;
   s.kind = kind;
   s.params = {params3[0], params3[1], params3[2]};
+  s.local = pose_from7(local7);
+  s.color = {color3[0], color3[1], color3[2]};
+  s.visual_id = visual_id;
+  s.collide = collide != 0;
+  ((Pool*)p)->envs[env].arts[art].links[link].shapes.push_back(std::move(s));
+}
+
+// Register an immutable triangle mesh (verts: nv x 3 doubles, already
+// scaled; tris: nt x 3 int32 vertex indices). Returns a process-global mesh
+// id usable from any env/pool via sc_link_add_mesh. BVH is built here, once.
+int sc_mesh_register(const double* verts, int nv, const int32_t* tris, int nt) {
+  TriMesh* m = new TriMesh();
+  m->v.resize(nv);
+  for (int i = 0; i < nv; i++)
+    m->v[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+  m->f.resize(3 * nt);
+  for (int i = 0; i < 3 * nt; i++) m->f[i] = tris[i];
+  m->finish();
+  std::lock_guard<std::mutex> lk(g_mesh_mu);
+  g_meshes.push_back(m);
+  return (int)g_meshes.size() - 1;
+}
+
+int sc_mesh_stats(int mesh_id, double* lo3, double* hi3) {
+  if (mesh_id < 0 || mesh_id >= (int)g_meshes.size()) return -1;
+  const TriMesh& m = *g_meshes[mesh_id];
+  lo3[0] = m.lo.x; lo3[1] = m.lo.y; lo3[2] = m.lo.z;
+  hi3[0] = m.hi.x; hi3[1] = m.hi.y; hi3[2] = m.hi.z;
+  return (int)m.f.size() / 3;
+}
+
+void sc_link_add_mesh(void* p, int env, int art, int link, int mesh_id,
+                      const double* local7, const double* color3,
+                      int visual_id, int collide) {
+  Shape s;
+  s.kind = S_MESH;
+  s.mesh = mesh_id;
+  const TriMesh& m = *g_meshes[mesh_id];
+  s.params = (m.hi - m.lo) * 0.5;  // conservative half extents (diagnostics)
   s.local = pose_from7(local7);
   s.color = {color3[0], color3[1], color3[2]};
   s.visual_id = visual_id;
@@ -1754,6 +2058,6 @@ void sc_render_all(void* p, const uint8_t* mask, const double* cam_poses7, int W
   }
 }
 
-int sc_version() { return 1; }
+int sc_version() { return 2; }
 
 }  // extern "C"

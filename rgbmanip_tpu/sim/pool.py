@@ -59,10 +59,16 @@ class SimPool:
             assert idx == i
             names[l.name] = idx
             for s in l.shapes:
-                self.lib.sc_link_add_shape(
-                    self.handle, env, art, idx, s.kind, dptr(_d(s.params)),
-                    dptr(_d(s.local)), dptr(_d(s.color)), s.visual_id,
-                    1 if s.collide else 0)
+                if getattr(s, "mesh", -1) >= 0:
+                    self.lib.sc_link_add_mesh(
+                        self.handle, env, art, idx, s.mesh,
+                        dptr(_d(s.local)), dptr(_d(s.color)), s.visual_id,
+                        1 if s.collide else 0)
+                else:
+                    self.lib.sc_link_add_shape(
+                        self.handle, env, art, idx, s.kind, dptr(_d(s.params)),
+                        dptr(_d(s.local)), dptr(_d(s.color)), s.visual_id,
+                        1 if s.collide else 0)
         self.lib.sc_art_finish(self.handle, env, art)
         self._link_names[env][art] = names
         return art
