@@ -55,6 +55,7 @@ class AdaPoseEstimator(BasePoseEstimator):
                              f"cost-regularization U-Net, got {self.n_depth}")
         self.d_min = float(cfg.get("d_min", 0.1))
         self.d_interval = float(cfg.get("d_interval", 0.1))
+        self.real_world = bool(cfg.get("real_world", False))
         self.model = StereoPoseNetWithDepth(
             backend=cfg.get("backend", "resnet34"),
             regress_pose=self.direct_regression,
@@ -64,6 +65,7 @@ class AdaPoseEstimator(BasePoseEstimator):
             stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",
             reg_impl=cfg.get("reg_impl", "banded2d"),
             volume_channels=int(cfg.get("volume_channels", 0)),
+            realworld_pts=self.real_world,
             dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
@@ -73,7 +75,11 @@ class AdaPoseEstimator(BasePoseEstimator):
                  jnp.zeros((1, S, S, 3), dtype), jnp.zeros((1, N), jnp.int32),
                  jnp.eye(4)[None], jnp.eye(4)[None],
                  depth_hypotheses(1, self.d_min, self.d_interval, self.n_depth))
-        variables = self.model.init(init_key, *dummy, train=False)
+        dummy_kw = {}
+        if self.real_world:
+            dummy_kw = dict(v1_pts2d=jnp.zeros((1, N, 2), dtype),
+                            v2_pts2d=jnp.zeros((1, N, 2), dtype))
+        variables = self.model.init(init_key, *dummy, train=False, **dummy_kw)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
@@ -92,7 +98,8 @@ class AdaPoseEstimator(BasePoseEstimator):
         return {"backend": m.backend, "backbone_stride": m.backbone_stride,
                 "volume_scale": m.volume_scale, "warp_mode": m.warp_mode,
                 "n_depth": self.n_depth, "d_min": self.d_min,
-                "d_interval": self.d_interval, "img_size": self.img_size}
+                "d_interval": self.d_interval, "img_size": self.img_size,
+                "real_world": self.real_world}
 
     def load(self, path: str):
         """Load a checkpoint: flax msgpack or a converted torch state_dict."""
@@ -145,11 +152,16 @@ class AdaPoseEstimator(BasePoseEstimator):
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch_stats, v1_img, v1_choose, v2_img, v2_choose,
-                 P1, P2, depth_values):
+                 P1, P2, depth_values, v1_pts2d=None, v2_pts2d=None):
+        kw = {}
+        if self.real_world:
+            # real-demo pose branch consumes original-frame (px, py) per
+            # point (reference interface_realworld.py:140-145 feeds pts2d)
+            kw = dict(v1_pts2d=v1_pts2d, v2_pts2d=v2_pts2d)
         return self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             v1_img, v1_choose, v2_img, v2_choose, P1, P2, depth_values,
-            train=False)
+            train=False, **kw)
 
     def _solve_one(self, nocs1, depth1, choose1, newK1, R_pred, pts2d1, nocs2,
                    pts2d2, origK, ext1, ext2, key):
@@ -210,7 +222,8 @@ class AdaPoseEstimator(BasePoseEstimator):
         pred = self._forward(params, batch_stats,
                              c1.astype(self.model.dtype), choose1,
                              c2.astype(self.model.dtype), choose2,
-                             P1, P2, depth_values)
+                             P1, P2, depth_values,
+                             v1_pts2d=pts2d1, v2_pts2d=pts2d2)
 
         nocs1 = pred["view1_nocs"].astype(jnp.float32)
         nocs2 = pred["view2_nocs"].astype(jnp.float32)

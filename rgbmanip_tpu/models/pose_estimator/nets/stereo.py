@@ -450,11 +450,19 @@ class StereoPoseNetWithDepth(nn.Module):
                                  # channels before warping (shrinks the warp
                                  # gathers + volume ~C/32x; changes the
                                  # architecture -> train with it on)
+    realworld_pts: bool = False  # real-demo variant: the pose branch consumes
+                                 # an MLP over (px, py, depth) per point —
+                                 # original-frame pixel coords + predicted
+                                 # metric depth — instead of the depth-
+                                 # probability-weighted volume features
+                                 # (reference network_realworld.py:42-47,
+                                 # 201-215); requires v1_pts2d/v2_pts2d
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, v1_img, v1_choose, v2_img, v2_choose, v1_proj, v2_proj,
-                 depth_values, train: bool = False):
+                 depth_values, train: bool = False, v1_pts2d=None,
+                 v2_pts2d=None):
         B, S = v1_img.shape[0], v1_img.shape[1]
         D = depth_values.shape[1]
 
@@ -572,6 +580,31 @@ class StereoPoseNetWithDepth(nn.Module):
             heads = PoseHeads(dtype=self.dtype, name="heads")
             nocs_pts_mlp = MLP1D((32, 64), final="relu", dtype=self.dtype,
                                  name="nocs_pts_mlp")
+
+            if self.realworld_pts:
+                # real-demo pose branch (reference network_realworld.py:
+                # 201-215): per-point (px, py, depth) through an MLP,
+                # concatenated with the NOCS point features
+                if v1_pts2d is None or v2_pts2d is None:
+                    raise ValueError(
+                        "realworld_pts=True requires v1_pts2d/v2_pts2d")
+                camera_pts_mlp = MLP1D((32, 64), final="relu",
+                                       dtype=self.dtype,
+                                       name="camera_pts_mlp")
+
+                def pose_branch_rw(pts2d, depth, nocs):
+                    pts3d = jnp.concatenate(
+                        [pts2d.astype(self.dtype),
+                         depth[..., None].astype(self.dtype)], axis=-1)
+                    return jnp.concatenate(
+                        [camera_pts_mlp(pts3d),
+                         nocs_pts_mlp(nocs).astype(self.dtype)], axis=-1)
+
+                R1, t1, s1 = heads(pose_branch_rw(v1_pts2d, depth1, nocs1))
+                R2, t2, s2 = heads(pose_branch_rw(v2_pts2d, depth2, nocs2))
+                out.update({"view1_r": R1, "view1_t": t1, "view1_s": s1,
+                            "view2_r": R2, "view2_t": t2, "view2_s": s2})
+                return out
 
             def pose_branch(fused, choose, prob, nocs):
                 # depth-probability-weighted volume features at chosen points

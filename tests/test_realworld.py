@@ -93,6 +93,10 @@ def test_realworld_estimator_consumes_env_images():
         "name": "adapose_realworld", "img_size": 64, "n_pts": 128,
         "n_depth": 8, "backend": "resnet10s", "load": False,
     }, LOG)
+    # the real-demo pose branch replaces the volume-feature gather with an
+    # MLP over (px, py, depth) (reference network_realworld.py:42-47,201-215)
+    assert est.model.realworld_pts
+    assert "camera_pts_mlp" in est.params
     i1 = env.get_image()["camera0"]
     env.cam_move_to(Pose([0.45, 0.15, 0.55], [0.0, 1.0, 0.0, 0.0]).to_7d()[None])
     i2 = env.get_image()["camera0"]
