@@ -23,8 +23,8 @@ ROWS = [
     ("open_drawer_30", "open_drawer", [("train", "drawer_train"), ("test", "drawer_test")]),
     ("open_pot", "open_pot", [("train", "pot_train"), ("test", "pot_test")]),
     ("pick_mug", "pick_mug", [("train", "mug_train"), ("test", "mug_test")]),
-    ("close_cabinet", "close_cabinet", [("train", "cabinet_train")]),
-    ("close_drawer", "close_drawer", [("train", "drawer_train")]),
+    ("close_cabinet", "close_cabinet", [("train", "cabinet_train"), ("test", "cabinet_test")]),
+    ("close_drawer", "close_drawer", [("train", "drawer_train"), ("test", "drawer_test")]),
 ]
 
 
