@@ -28,7 +28,7 @@ import numpy as np
 from ...ops import geometry as G
 from ...ops.preprocess import depth_hypotheses, prepare_model_input
 from .base_estimator import BasePoseEstimator
-from .nets.stereo import StereoPoseNetWithDepth
+from .nets.stereo import StereoPoseNetV1, StereoPoseNetWithDepth
 
 DEFAULT_BBOX = np.array([
     [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
@@ -56,17 +56,31 @@ class AdaPoseEstimator(BasePoseEstimator):
         self.d_min = float(cfg.get("d_min", 0.1))
         self.d_interval = float(cfg.get("d_interval", 0.1))
         self.real_world = bool(cfg.get("real_world", False))
-        self.model = StereoPoseNetWithDepth(
-            backend=cfg.get("backend", "resnet34"),
-            regress_pose=self.direct_regression,
-            backbone_stride=int(cfg.get("backbone_stride", 8)),
-            volume_scale=int(cfg.get("volume_scale", 1)),
-            warp_mode=cfg.get("warp_mode", "bilinear"),
-            stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",
-            reg_impl=cfg.get("reg_impl", "banded2d"),
-            volume_channels=int(cfg.get("volume_channels", 0)),
-            realworld_pts=self.real_world,
-            dtype=dtype)
+        # "with_depth" (v3-v5, cost-volume depth head) or "v1" (the original
+        # volume_conv+fuse_conv architecture, reference lib/network.py:39-215)
+        self.arch = cfg.get("arch", "with_depth")
+        if self.arch == "v1":
+            if self.use_depth or self.direct_regression or self.real_world:
+                raise ValueError(
+                    "arch='v1' has no depth head: requires use_depth=False, "
+                    "direct_regression=False, real_world=False "
+                    "(triangulation+PnP solve, reference interface.py)")
+            self.model = StereoPoseNetV1(
+                backend=cfg.get("backend", "resnet34"), dtype=dtype)
+        elif self.arch != "with_depth":
+            raise ValueError(f"unknown estimator arch {self.arch!r}")
+        else:
+            self.model = StereoPoseNetWithDepth(
+                backend=cfg.get("backend", "resnet34"),
+                regress_pose=self.direct_regression,
+                backbone_stride=int(cfg.get("backbone_stride", 8)),
+                volume_scale=int(cfg.get("volume_scale", 1)),
+                warp_mode=cfg.get("warp_mode", "bilinear"),
+                stereo_fusion=cfg.get("name", "adapose_v5") != "adapose_baseline",
+                reg_impl=cfg.get("reg_impl", "banded2d"),
+                volume_channels=int(cfg.get("volume_channels", 0)),
+                realworld_pts=self.real_world,
+                dtype=dtype)
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
 
@@ -95,6 +109,10 @@ class AdaPoseEstimator(BasePoseEstimator):
         shapes — a checkpoint restores silently into a mismatched model and
         produces garbage unless validated [ADVICE]."""
         m = self.model
+        if self.arch == "v1":
+            return {"arch": "v1", "backend": m.backend,
+                    "img_size": self.img_size, "n_depth": self.n_depth,
+                    "d_min": self.d_min, "d_interval": self.d_interval}
         return {"backend": m.backend, "backbone_stride": m.backbone_stride,
                 "volume_scale": m.volume_scale, "warp_mode": m.warp_mode,
                 "n_depth": self.n_depth, "d_min": self.d_min,
@@ -227,7 +245,10 @@ class AdaPoseEstimator(BasePoseEstimator):
 
         nocs1 = pred["view1_nocs"].astype(jnp.float32)
         nocs2 = pred["view2_nocs"].astype(jnp.float32)
-        depth1 = pred["view1_depth"].astype(jnp.float32)
+        # arch="v1" has no depth head; the triangulation+PnP solve it pairs
+        # with never reads depth1
+        depth1 = pred.get("view1_depth",
+                          jnp.zeros(nocs1.shape[:2])).astype(jnp.float32)
         R_pred = pred.get("view1_r",
                           jnp.broadcast_to(jnp.eye(3), (B, 3, 3))).astype(jnp.float32)
 
@@ -269,7 +290,9 @@ def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:
     (AdaPose/interface*.py): each generation maps to solve-mode flags of the
     unified estimator.
 
-      v1/v2: NOCS-match triangulation + PnP (interface.py / interface_v2.py)
+      v1/v2: the original StereoPoseNet architecture (volume_conv +
+             fuse_conv residual, lib/network.py:39-215) with NOCS-match
+             triangulation + PnP solve (interface.py / interface_v2.py)
       v3:    predicted-depth back-projection + Umeyama (interface_v3.py)
       v4/v5: direct regression heads (interface_v4.py / interface_v5.py)
       baseline: v5 without stereo fusion (interface_baseline.py)
@@ -281,6 +304,7 @@ def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:
     v = version.lower()
     if v in ("v1", "v2"):
         cfg.update(use_depth=False, direct_regression=False)
+        cfg.setdefault("arch", "v1")
     elif v == "v3":
         cfg.update(use_depth=True, direct_regression=False)
     elif v in ("v4", "v5"):

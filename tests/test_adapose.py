@@ -133,6 +133,33 @@ def test_estimator_estimate_api():
     assert np.isfinite(bbox).all()
 
 
+def test_v1_architecture_estimate():
+    """make_estimator('v1') builds the original StereoPoseNet (volume_conv +
+    fuse_conv residual, reference lib/network.py:39-215) and solves via
+    triangulation+PnP end-to-end."""
+    from rgbmanip_tpu.models.pose_estimator.adapose import make_estimator
+
+    est = make_estimator("v1", small_cfg(n_depth=8), LOG)
+    assert est.arch == "v1"
+    assert type(est.model).__name__ == "StereoPoseNetV1"
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 480, 640
+    rgb = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    mask = np.zeros((B, H, W), bool)
+    mask[:, 200:280, 300:360] = True
+    K = np.tile(np.array([[439.3, 0, 320], [0, 439.3, 240], [0, 0, 1.0]]), (B, 1, 1))
+    ext1 = np.tile(np.eye(4), (B, 1, 1))
+    ext1[:, 2, 3] = 1.0
+    ext2 = ext1.copy()
+    ext2[:, 0, 3] = 0.1  # second view offset for triangulation
+    bbox = est.estimate(K, rgb, mask, ext1, rgb, mask, ext2)
+    assert bbox.shape == (B, 8, 3)
+    assert np.isfinite(bbox).all()
+    # depth-head modes are incompatible with the v1 architecture
+    with pytest.raises(ValueError, match="no depth head"):
+        make_estimator("v5", small_cfg(arch="v1"), LOG)
+
+
 def test_solve_oracle_nocs():
     """With oracle NOCS+depth, the use_depth solve path recovers the gt box."""
     from rgbmanip_tpu.ops import geometry as G
