@@ -89,7 +89,10 @@ def load_urdf_raw(path: str, active_link: str, in_part, log=None):
         if in_part is None or link_name not in in_part:
             return 0
         def vid_of(visual_name: str) -> int:
-            return VID_GRASP if "handle" in visual_name.lower() else VID_PART
+            # "handle" for doors/drawers (open_cabinet.py:129-144); "lid"
+            # for pots/mugs (open_pot.py:140-155)
+            n = visual_name.lower()
+            return VID_GRASP if ("handle" in n or "lid" in n) else VID_PART
         return vid_of
 
     # build per-link visual_ids mapping of callables (resolved per visual)
@@ -119,11 +122,14 @@ def _canonicalize_active_link(spec: ArticulationSpec, part_idx: int) -> None:
     poses = _fk_zero(spec)
     lp, lq = poses[part_idx]
 
-    # object AABB (all links) and active-part AABB, world at q=0
+    # object AABB (all links), active-part AABB, per-shape boxes and the
+    # handle centroid, world at q=0
     lo = np.full(3, 1e18)
     hi = np.full(3, -1e18)
     plo = np.full(3, 1e18)
     phi = np.full(3, -1e18)
+    part_boxes = []      # (center, half) of non-grasp shapes in the part
+    grasp_centers = []
     any_part = False
     for li, l in enumerate(spec.links):
         p, q = poses[li]
@@ -132,24 +138,42 @@ def _canonicalize_active_link(spec: ArticulationSpec, part_idx: int) -> None:
             half = _shape_aabb_half(s)
             lo = np.minimum(lo, c - half)
             hi = np.maximum(hi, c + half)
-            if li == part_idx and s.visual_id != VID_GRASP:
-                # panel only: the handle's standoff would thicken the
-                # normal axis
-                plo = np.minimum(plo, c - half)
-                phi = np.maximum(phi, c + half)
-                any_part = True
+            if li == part_idx:
+                if s.visual_id == VID_GRASP:
+                    grasp_centers.append(c)
+                else:
+                    # panel only: the handle's standoff would thicken the
+                    # normal axis
+                    plo = np.minimum(plo, c - half)
+                    phi = np.maximum(phi, c + half)
+                    part_boxes.append((c, np.asarray(half)))
+                    any_part = True
     if not any_part:
         return
     center_w = (lo + hi) / 2
-    pdims = phi - plo
-    # the face normal is the part panel's THINNEST axis; sign away from the
-    # object center (a door/drawer front is thin along its normal, a lid is
-    # thin along world z -> top-down approach, both per the reference's
-    # task geometry)
-    ax = int(np.argmin(pdims))
+    if grasp_centers:
+        # The face the handle stands off is the non-grasp shape NEAREST the
+        # handle centroid; its thinnest axis is the face normal, signed
+        # toward the handle (the reference derives approach from the handle
+        # OBB the same way, open_cabinet.py:146-178). Using the whole part
+        # subtree's AABB instead picks the wrong axis for drawers, whose
+        # storage box behind the front panel dominates the depth axis.
+        hc = np.mean(np.stack(grasp_centers), axis=0)
+        pc, ph = min(part_boxes, key=lambda b: np.linalg.norm(b[0] - hc))
+        ax = int(np.argmin(ph))
+        d = hc[ax] - pc[ax]
+        sign = (1.0 if d >= 0 else -1.0) if abs(d) > 1e-4 else \
+               (1.0 if pc[ax] >= center_w[ax] else -1.0)
+    else:
+        # no handle: the part panel's thinnest axis, sign away from the
+        # object center (a door/drawer front is thin along its normal, a
+        # lid is thin along world z -> top-down approach)
+        pdims = phi - plo
+        ax = int(np.argmin(pdims))
+        pc = (plo + phi) / 2
+        sign = 1.0 if pc[ax] >= center_w[ax] else -1.0
     out_w = np.zeros(3)
-    pc = (plo + phi) / 2
-    out_w[ax] = 1.0 if pc[ax] >= center_w[ax] else -1.0
+    out_w[ax] = sign
     if ax != 2:
         y_w = np.array([0.0, 0.0, 1.0])
     else:

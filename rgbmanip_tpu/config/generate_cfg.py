@@ -109,17 +109,19 @@ def datasets():
     # seam; the fixture mirrors the reference's mobility.urdf layout,
     # cfg/dataset/cabinet_train.yaml entries). Real PartNet objects drop in
     # by listing more entries with path (+ active link in the name).
-    out["cabinet_urdf_fixture"] = {
-        "name": "partnet_mobility",
-        "type": "one_door_cabinet",
-        "dataset_root": ".",
-        "objects": {
-            "fixture_link_0": {
-                "name": "fixture_link_0",
-                "path": "tests/fixtures/mobility_cabinet/mobility.urdf",
+    for fixt, cat in (("cabinet", "one_door_cabinet"),
+                      ("drawer", "one_drawer_cabinet"), ("pot", "pot")):
+        out[f"{fixt}_urdf_fixture"] = {
+            "name": "partnet_mobility",
+            "type": cat,
+            "dataset_root": ".",
+            "objects": {
+                "fixture_link_0": {
+                    "name": "fixture_link_0",
+                    "path": f"tests/fixtures/mobility_{fixt}/mobility.urdf",
+                },
             },
-        },
-    }
+        }
     return out
 
 

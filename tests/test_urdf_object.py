@@ -48,6 +48,73 @@ def test_load_object_urdf_seg_ids_and_meta():
     np.testing.assert_allclose(z_w, [-1, 0, 0], atol=1e-6)
 
 
+DRAWER = os.path.join(os.path.dirname(FIXTURE), "..", "mobility_drawer",
+                      "mobility.urdf")
+POT = os.path.join(os.path.dirname(FIXTURE), "..", "mobility_pot",
+                   "mobility.urdf")
+
+
+def test_load_drawer_urdf_handle_proximity_frame():
+    """The drawer's storage box behind the front panel makes the part
+    subtree deep along the approach axis; the face normal must come from
+    the shape nearest the handle (front panel), not the subtree AABB."""
+    from rgbmanip_tpu.assets.urdf_object import _fk_zero
+    from rgbmanip_tpu.utils.transform import quat_rotate
+
+    spec, meta = load_object_urdf(DRAWER, "link_0",
+                                  category="one_drawer_cabinet")
+    assert abs(meta.dof_hi - 0.4) < 1e-9
+    li = spec.link_index("link_0")
+    poses = _fk_zero(spec)
+    _, lq = poses[li]
+    # canonical frame: local z -> outward (-x world), local y -> world up
+    np.testing.assert_allclose(
+        quat_rotate(lq, np.array([0.0, 0.0, 1.0])), [-1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        quat_rotate(lq, np.array([0.0, 1.0, 0.0])), [0, 0, 1], atol=1e-6)
+    # prismatic axis slides outward = local +z after canonicalization
+    np.testing.assert_allclose(spec.links[li].axis, [0, 0, 1], atol=1e-6)
+
+
+def test_load_pot_urdf_lid_seg_ids():
+    """'lid-*' visual names mark the graspable part (reference
+    open_pot.py:140-155 matches 'lid' instead of 'handle')."""
+    spec, meta = load_object_urdf(POT, "link_0", category="pot")
+    link = spec.links[spec.link_index("link_0")]
+    assert all(s.visual_id == VID_GRASP for s in link.shapes)
+    assert abs(meta.dof_hi - 0.6) < 1e-9
+
+
+def _run_fixture_task(dataset, task, manipulation, rounds=16, envs=8):
+    cfg = load_config([
+        f"dataset={dataset}", f"task={task}", f"manipulation={manipulation}",
+        "controller=gt_pose", "pose_estimator=ground_truth", "train=test",
+        f"train.total_round={rounds}", f"task.num_envs={envs}",
+    ])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        manip = prepare_manipulation(env, cfg["manipulation"], LOG)
+        pe = prepare_pose_estimator(env, cfg["pose_estimator"], LOG)
+        ctrl = prepare_controller(env, pe, manip, cfg["controller"], cfg, LOG)
+        return run_test(env, ctrl, cfg, LOG)
+    finally:
+        env.close()
+
+
+def test_drawer_urdf_fixture_task_e2e():
+    """open_drawer on the prismatic URDF fixture (measured 93.75% at 16
+    eps; assert a conservative floor)."""
+    result = _run_fixture_task("drawer_urdf_fixture", "open_drawer",
+                               "open_drawer")
+    assert result["success_rate"] >= 60.0, result
+
+
+def test_pot_urdf_fixture_task_e2e():
+    """open_pot on the lid URDF fixture (measured 87.5% at 16 eps)."""
+    result = _run_fixture_task("pot_urdf_fixture", "open_pot", "open_pot")
+    assert result["success_rate"] >= 60.0, result
+
+
 def test_urdf_fixture_task_e2e():
     """Full open_cabinet episode batch on the URDF dataset: gt bbox,
     segmentation, planner, grasp, pull — success at parity with the
