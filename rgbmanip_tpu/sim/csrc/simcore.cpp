@@ -605,7 +605,8 @@ struct EnvSim {
   // seen (the descent can oscillate near singular/limit configs — the
   // final iterate is not necessarily the best) and returns its error.
   double ik_descend(const Pose& target_world, int max_iters, double damping,
-                    double pos_tol, double rot_tol, double rot_weight = 1.0) {
+                    double pos_tol, double rot_tol, double rot_weight = 1.0,
+                    bool limit_avoid = true) {
     Articulation& r = robot();
     double lambda = damping;
     double best_err = 1e18;
@@ -638,17 +639,56 @@ struct EnvSim {
         }
       }
       double e6[6] = {ep.x, ep.y, ep.z, er.x, er.y, er.z};
-      double A[6][6];
+      double A[6][6], A2[6][6];
       for (int i = 0; i < 6; i++)
         for (int j = 0; j < 6; j++) {
           double s = 0;
           for (int d = 0; d < n_arm; d++) s += J[i][d] * J[j][d];
-          A[i][j] = s + (i == j ? lambda * lambda : 0.0);
+          A[i][j] = A2[i][j] = s + (i == j ? lambda * lambda : 0.0);
         }
       double y[6];
       if (!solve6(A, e6, y)) break;
+      // Joint-limit avoidance in the nullspace: joints entering the outer
+      // 15% of their range get a mid-range pull projected through
+      // (I - J^+ J) (damped), so the end-effector task is untouched to
+      // first order. Without this the descent parks wrist joints AT their
+      // limits on grasp approaches (e.g. Panda q4=-3.07, q5=+2.90), and
+      // every subsequent pull IK is frozen by the limit clamp — the
+      // dominant open_drawer 'partial' failure (scripts/trace_drawer.py).
+      double z[7] = {0, 0, 0, 0, 0, 0, 0};
+      bool any_z = false;
+      if (limit_avoid)
       for (int d = 0; d < n_arm; d++) {
-        double dq = 0;
+        const Link& l = r.links[r.dof_links[d]];
+        double range = l.hi - l.lo;
+        if (range <= 1e-9) continue;
+        double margin = 0.05 * range;
+        double lo_pen = (r.q[d] - l.lo) / margin;
+        double hi_pen = (l.hi - r.q[d]) / margin;
+        double zd = 0.0;
+        if (lo_pen < 1.0) zd = (1.0 - lo_pen) * margin;
+        else if (hi_pen < 1.0) zd = -(1.0 - hi_pen) * margin;
+        zd *= 0.5;
+        zd = std::max(-0.15, std::min(0.15, zd));
+        if (zd != 0.0) { z[d] = zd; any_z = true; }
+      }
+      double ns[7] = {0, 0, 0, 0, 0, 0, 0};
+      if (any_z) {
+        double w[6], u[6];
+        for (int i = 0; i < 6; i++) {
+          double s = 0;
+          for (int d = 0; d < n_arm; d++) s += J[i][d] * z[d];
+          w[i] = s;
+        }
+        if (solve6(A2, w, u))
+          for (int d = 0; d < n_arm; d++) {
+            double corr = z[d];
+            for (int i = 0; i < 6; i++) corr -= J[i][d] * u[i];
+            ns[d] = corr;
+          }
+      }
+      for (int d = 0; d < n_arm; d++) {
+        double dq = ns[d];
         for (int i = 0; i < 6; i++) dq += J[i][d] * y[i];
         dq = std::max(-0.3, std::min(0.3, dq));
         const Link& l = r.links[r.dof_links[d]];
@@ -670,7 +710,8 @@ struct EnvSim {
 
   bool dls_ik(const Pose& target_world, const double* q_init, double* q_out,
               int max_iters = 120, double damping = 0.08, double tol = 1e-4,
-              int restarts = 5, double rot_weight = 1.0) {
+              int restarts = 5, double rot_weight = 1.0,
+              bool limit_avoid = true) {
     Articulation& r = robot();
     double pos_tol = std::max(tol, 1e-3), rot_tol = 1e-2;
     std::vector<double> q_save = r.q;
@@ -694,7 +735,8 @@ struct EnvSim {
           r.q[d] = l.lo + (l.hi - l.lo) * uni(rng);
         }
       }
-      ik_descend(target_world, max_iters, damping, pos_tol, rot_tol, rot_weight);
+      ik_descend(target_world, max_iters, damping, pos_tol, rot_tol, rot_weight,
+                 limit_avoid);
       double ep_n, er_n;
       errs_at(&ep_n, &er_n);
       // The seeded descent (attempt 0) is the baseline — for grasp targets
@@ -1028,7 +1070,8 @@ struct EnvSim {
     std::vector<double> qi(r.q.begin(), r.q.begin() + n_arm);
     // position is the hard constraint; orientation about the handle is
     // already twist-relaxed above, the rest is best-effort (weight 0.3)
-    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0, 0.3)) {
+    if (dls_ik(constrained_hand, qi.data(), q_sol, 40, 0.08, 5e-4, 0, 0.3,
+               false)) {
       // keep the achieved per-tick joint velocity: zeroing qd here starves
       // the PD integrator (one tick of acceleration, then reset), which
       // made grasped moves crawl at ~half the commanded distance per move
