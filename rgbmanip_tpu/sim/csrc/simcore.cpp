@@ -473,6 +473,7 @@ struct GraspState {
   bool grasped = false;
   Pose rel_ph;           // part_link_pose^-1 * hand_pose at grasp time
   int slip_count = 0;
+  int dbg_tick = 0;
 };
 
 // Separating-axis test for two OBBs (15 axes).
@@ -765,6 +766,20 @@ struct EnvSim {
     return best_ep + 0.3 * best_er < pos_tol + 0.3 * rot_tol;
   }
 
+  // EE position error of a candidate arm config against a target, without
+  // disturbing the physics state (used by exec_ik_move's grasped-pull
+  // monotonic-progress guard).
+  double ee_pos_err_at(const double* q_arm, const Pose& target_world) {
+    Articulation& r = robot();
+    std::vector<double> q_save = r.q;
+    for (int d = 0; d < n_arm; d++) r.q[d] = q_arm[d];
+    r.fk();
+    double err = (r.link_pose[ee_link].p - target_world.p).norm();
+    r.q = q_save;
+    r.fk();
+    return err;
+  }
+
   // Gripper contact spheres (palm + finger pads) against the object's
   // collision OBBs. Models the hard contact that stops the hand when it
   // presses into the door/body — the reference relies on PhysX contact for
@@ -1005,15 +1020,40 @@ struct EnvSim {
     Pose part_now = obj.link_pose[pl];
     Vec3 anchor_now = (part_now * grasp.rel_ph).apply(grip_local);
     Vec3 anchor_des = desired_hand.apply(grip_local);
+    // Part motion follows the COMMANDED hand (FK at the drive-target
+    // config — always a reachable IK solution), not the settled dynamics
+    // pose: when a pull target leaves the workspace the PD saturates and
+    // the hand sags toward the interior every tick after the constraint
+    // snap-back; projecting that sag closed fully-opened doors in a
+    // runaway (-0.012 rad/tick from obj_q 0.97 to 0, SC_GRASP_DEBUG
+    // probe). The sag is elastic tracking error, not intent — a real
+    // gripper at the boundary just holds the handle still.
+    Vec3 anchor_cmd;
+    {
+      std::vector<double> q_save = r.q;
+      for (int d = 0; d < n_arm; d++) r.q[d] = r.target[d];
+      r.fk();
+      anchor_cmd = r.link_pose[ee_link].apply(grip_local);
+      r.q = q_save;
+      r.fk();
+    }
 
     {
       int di;
-      double dq = project_hand_motion_to_part_dof(anchor_now, anchor_des, &di);
+      double dq = project_hand_motion_to_part_dof(anchor_now, anchor_cmd, &di);
       if (di >= 0) {
         obj.q[di] += dq;
         obj.qd[di] = dq / dt;
         obj.clamp_limits();
         obj.fk();
+      }
+      static const bool gdbg = std::getenv("SC_GRASP_DEBUG") != nullptr;
+      if (gdbg && di >= 0 && (++grasp.dbg_tick % 36 == 0)) {
+        Vec3 d = anchor_des - anchor_now;
+        fprintf(stderr, "[grasp %p] dq=%+.4f obj_q=%.3f |des-now|=%.3f "
+                "des=(%.3f %.3f %.3f) now=(%.3f %.3f %.3f)\n", (void*)this,
+                dq, obj.q[di], d.norm(), anchor_des.x, anchor_des.y,
+                anchor_des.z, anchor_now.x, anchor_now.y, anchor_now.z);
       }
     }
 
@@ -1886,7 +1926,26 @@ void sc_exec_ik_move(void* p, const uint8_t* mask, const double* targets7,
         // pulls stalled at ~0.28/0.30 m because the rigid-orientation IK
         // stopped moving once the handle neared the robot base).
         double rw = e.grasp.grasped ? 0.15 : 1.0;
-        e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0, rw);
+        if (!e.grasp.grasped) {
+          e.dls_ik(target, qi.data(), sol, 60, 0.08, 1e-4, 0, rw);
+        } else {
+          // Monotonic-progress guard: when the pull target leaves the
+          // workspace (e.g. a wide-open door's arc passing too close to
+          // the robot base), the soft-orientation descent can return a
+          // config whose EE is FAR from both target and current pose;
+          // tracking it swings the arm, and the grasp constraint converts
+          // the swing into part motion that slams the door shut from
+          // 0.9 rad open (probe: docs/RESULTS.md, open_cabinet 'slipped'
+          // bucket). Accept a re-solve only if its EE gets at least as
+          // close to the target as the currently tracked solution;
+          // otherwise hold — a stalled pull keeps the part where it is.
+          double cand[7];
+          for (int d = 0; d < e.n_arm; d++) cand[d] = sol[d];
+          e.dls_ik(target, qi.data(), cand, 60, 0.08, 1e-4, 0, rw);
+          if (e.ee_pos_err_at(cand, target) <=
+              e.ee_pos_err_at(sol, target) + 0.02)
+            for (int d = 0; d < e.n_arm; d++) sol[d] = cand[d];
+        }
       }
       for (int d = 0; d < e.n_arm; d++) {
         r.target[d] += (sol[d] - r.target[d]) / (run_steps - s);

@@ -16,8 +16,9 @@ from rgbmanip_tpu.utils.logger import get_logger
 split = sys.argv[1] if len(sys.argv) > 1 else "drawer_train"
 rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 task = sys.argv[3] if len(sys.argv) > 3 else "open_drawer"
+manip_name = sys.argv[4] if len(sys.argv) > 4 else task
 cfg = load_config([f"dataset={split}", f"task={task}",
-                   "manipulation=open_drawer", "controller=gt_pose",
+                   f"manipulation={manip_name}", "controller=gt_pose",
                    "pose_estimator=ground_truth", "train=test",
                    "task.num_envs=8"])
 log = get_logger(); log.setLevel("WARNING")
