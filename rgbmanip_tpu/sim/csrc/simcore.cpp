@@ -2022,15 +2022,18 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
     // collision-free (mplib's plan() does IK + validity internally)
     double goal[7];
     std::vector<double> q0(r.q.begin(), r.q.begin() + e.n_arm);
-    auto find_goal = [&](const Pose& tgt, bool* any_ik) -> bool {
+    auto find_goal_rw = [&](const Pose& tgt, bool* any_ik, double rw) -> bool {
       for (int attempt = 0; attempt < 4; attempt++) {
         if (!e.dls_ik(tgt, attempt == 0 ? q0.data() : nullptr, goal, 200,
-                      0.08, 1e-4))
+                      0.08, 1e-4, 5, rw))
           continue;
         if (any_ik) *any_ik = true;
         if (!config_in_collision(ctx, goal)) return true;
       }
       return false;
+    };
+    auto find_goal = [&](const Pose& tgt, bool* any_ik) -> bool {
+      return find_goal_rw(tgt, any_ik, 1.0);
     };
     bool ik_ok = false;
     bool goal_ok = find_goal(target, &ik_ok);
@@ -2060,6 +2063,15 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
         t2.p = target.p - fwd * backs[bi];
         goal_ok = find_goal(t2, nullptr);  // goal[] holds the standoff config
       }
+    }
+    if (!goal_ok) {
+      // tier 3: soft-orientation goal. Low, near-base pre-grasp poses can
+      // be position-reachable but orientation-unreachable (the strict goal
+      // IK fails outright on ~6% of open_cabinet episodes, all clustered
+      // in close-to-robot object draws); a position-exact,
+      // orientation-relaxed config still lets the closed-loop approach
+      // re-aim in 6 cm steps from there.
+      goal_ok = find_goal_rw(target, &ik_ok, 0.25);
     }
     if (!goal_ok) {
       if (plan_debug) {
