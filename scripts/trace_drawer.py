@@ -28,6 +28,7 @@ est = prepare_pose_estimator(env, cfg["pose_estimator"], log)
 ctrl = prepare_controller(env, est, manip, cfg["controller"], cfg, log)
 
 success_dof = cfg["task"]["object_conf"]["success_dof"]
+inverted = task.startswith("close")  # close tasks succeed when dof DROPS below
 trace = []
 
 
@@ -63,7 +64,7 @@ for rnd in range(rounds):
     trace.clear()
     ctrl.run()
     dof = env.obj_dof()[:, 0]
-    ok = dof > success_dof
+    ok = (dof < success_dof) if inverted else (dof > success_dof)
     # per-env episode analysis from the trace
     steps = np.stack([t[1] for t in trace])          # (T, N)
     grasped = np.stack([t[2] for t in trace])        # (T, N)
