@@ -48,7 +48,13 @@ def _set_dotted(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
 
 
 def apply_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """Apply CLI overrides with Hydra's two-phase semantics: ALL group
+    selections (``controller=rl``) first, then ALL dotted value overrides
+    (``controller.learn.save_dir=...``) — regardless of CLI order. A
+    trailing group swap must not silently drop an earlier dotted override
+    into the same group (that exact foot-gun cost a training run)."""
     cfg = copy.deepcopy(cfg)
+    dotted: List[tuple] = []
     for ov in overrides:
         if "=" not in ov:
             raise ConfigError(f"override must be key=value, got {ov!r}")
@@ -57,7 +63,9 @@ def apply_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]
             group_file = os.path.join(CFG_ROOT, key, f"{val}.yaml")
             cfg[key] = _load_yaml(group_file)
         else:
-            _set_dotted(cfg, key, _parse_value(val))
+            dotted.append((key, val))
+    for key, val in dotted:
+        _set_dotted(cfg, key, _parse_value(val))
     return cfg
 
 

@@ -24,6 +24,10 @@ while :; do
   echo "=== chunk: iterations $IT..$((IT + N)) of $TOTAL (resume ${CKPT:-none}) ==="
   LOAD=""
   if [ -n "$CKPT" ]; then LOAD="controller.load=$CKPT"; fi
-  python train.py train=controller "train.iterations_per_epoch=$N" \
-    "controller.learn.save_dir=$SAVE_DIR" $LOAD "$@"
+  # launcher-owned dotted overrides go AFTER the caller's args: the config
+  # loader applies overrides in order, and a trailing group selection like
+  # controller=rl REPLACES the controller dict, silently dropping any
+  # controller.* overrides that came before it
+  python train.py train=controller "$@" "train.iterations_per_epoch=$N" \
+    "controller.learn.save_dir=$SAVE_DIR" $LOAD
 done

@@ -45,3 +45,18 @@ def test_dataset_counts():
                         ("drawer_train", 43), ("mug_train", 35)]:
         cfg = load_config([f"dataset={name}"])
         assert len(cfg["dataset"]["objects"]) == count
+
+
+def test_dotted_override_survives_later_group_swap():
+    """Hydra two-phase semantics: a group selection appearing AFTER a dotted
+    override into that group must not drop the override (this exact
+    ordering, emitted by scripts/train_rl_chunked.sh, once silently sent a
+    training run's checkpoints to the default save_dir)."""
+    cfg = load_config([
+        "controller.learn.save_dir=saves/custom_dir",
+        "controller=rl",
+        "dataset=cabinet_train", "task=open_cabinet",
+        "manipulation=open_cabinet", "pose_estimator=ground_truth",
+        "train=controller",
+    ])
+    assert cfg["controller"]["learn"]["save_dir"] == "saves/custom_dir"
