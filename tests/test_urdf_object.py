@@ -115,6 +115,14 @@ def test_pot_urdf_fixture_task_e2e():
     assert result["success_rate"] >= 60.0, result
 
 
+def test_mug_urdf_fixture_task_e2e():
+    """pick_mug on the mesh mug fixture (measured 31.25% at 16 eps vs
+    43.75% procedural at the same seed — pick_mug is the weakest skill
+    everywhere, reference 48.4/41.9; assert a conservative floor)."""
+    result = _run_fixture_task("mug_urdf_fixture", "pick_mug", "pick_mug")
+    assert result["success_rate"] >= 12.0, result
+
+
 def test_urdf_fixture_task_e2e():
     """Full open_cabinet episode batch on the URDF dataset: gt bbox,
     segmentation, planner, grasp, pull — success at parity with the
