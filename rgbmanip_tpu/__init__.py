@@ -18,7 +18,13 @@ def _honor_jax_platforms_env():
         return
     try:
         import jax
-        if jax.config.jax_platforms != plat:
+        cfg = jax.config.jax_platforms or ""
+        # If the config merely EXTENDS the env var with extra fallback
+        # backends (e.g. env "axon" vs config "axon,cpu" — some images set
+        # both), the default platform already matches the user's intent and
+        # the extra backends are strictly useful (data.py preps batches on
+        # the host cpu backend). Only override when the default differs.
+        if cfg.split(",")[0] != plat.split(",")[0]:
             jax.config.update("jax_platforms", plat)
     except Exception:
         pass

@@ -163,8 +163,13 @@ class SimViewSampler:
         # the img_size^2 crops (+ points/labels) ever cross to the device,
         # inside trainer.step. Keys stay host-side (numpy) so no input is
         # committed to the accelerator.
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        try:
+            cpu = jax.devices("cpu")[0]
+            ctx = jax.default_device(cpu)
+        except RuntimeError:  # no cpu backend registered: prep on default
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
             keys = jax.random.split(jnp.asarray(np.asarray(self.key)), 3)
             self.key, k1, k2 = np.asarray(keys[0]), keys[1], keys[2]
             K = jnp.asarray(img1["Intrinsic"])
