@@ -15,5 +15,5 @@ done
 exec bash scripts/train_rl_chunked.sh saves/ppo_rl_adapose 225 25 \
   dataset=cabinet_train task=open_cabinet manipulation=open_cabinet \
   controller=rl pose_estimator=adapose_cabinet_fast \
-  pose_estimator.checkpoint_path=saves/estimator_fast_cabinet_r2.ckpt \
+  pose_estimator.checkpoint_path=checkpoints/estimator_fast_cabinet_r2.ckpt \
   task.num_envs=16 seed=3 exp_name=rl_adapose >> "$LOG" 2>&1
