@@ -21,11 +21,22 @@ while :; do
   fi
   sleep 60
 done
+# sidecar: refresh the committed snapshot every 3 min (the trainer writes
+# the scratch ckpt every 200 steps; chunk-end-only copies lose up to a full
+# chunk if the session dies mid-chunk)
+(
+  while :; do
+    sleep 180
+    if [ -f "$CKPT" ] && [ "$CKPT" -nt "$SNAP" ]; then cp "$CKPT" "$SNAP"; fi
+  done
+) &
+SIDECAR=$!
+trap 'kill $SIDECAR 2>/dev/null' EXIT
 DONE=0
 while [ "$DONE" -lt "$TOTAL" ]; do
-  echo "=== chunk: +250 steps (done $DONE/$TOTAL) ===" >> "$LOG"
-  timeout 1800 python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
-    steps=250 resume="$CKPT" save="$CKPT" \
+  echo "=== chunk: +1000 steps (done $DONE/$TOTAL) ===" >> "$LOG"
+  timeout 3600 python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
+    steps=1000 resume="$CKPT" save="$CKPT" \
     dataset=cabinet_train task=open_cabinet task.num_envs=8 seed=7 \
     img_size=192 backend=resnet18 backbone_stride=32 volume_scale=8 \
     n_depth=16 d_interval=0.15 warp_mode=nearest >> "$LOG" 2>&1
@@ -38,7 +49,7 @@ while [ "$DONE" -lt "$TOTAL" ]; do
       sleep 60
     done
   else
-    DONE=$((DONE + 250))
+    DONE=$((DONE + 1000))
   fi
 done
 echo "[watch] $(date -u) training complete at $DONE steps" >> "$LOG"
