@@ -163,10 +163,16 @@ class AdaPoseEstimator(BasePoseEstimator):
         import os
         from flax import serialization
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        with open(path, "wb") as f:
+        # Atomic write: a sidecar copying this file mid-write (or a crash)
+        # must never leave a truncated checkpoint at `path` [ADVICE r2].
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(
                 {"params": self.params, "batch_stats": self.batch_stats,
                  "meta": json.dumps(self._arch_meta())}))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch_stats, v1_img, v1_choose, v2_img, v2_choose,

@@ -1,22 +1,37 @@
 #!/bin/bash
 # Wait for the axon TPU tunnel to come back, then launch (or resume) the
-# chunked fast-estimator training and snapshot each chunk's checkpoint into
-# the committed checkpoints/ directory (saves/ is wiped between sessions).
-# Companion to tunnel_watch_rl.sh; same rationale.
+# chunked fast-estimator training for CATEGORY and snapshot each chunk's
+# checkpoint into the committed checkpoints/ directory (saves/ is wiped
+# between sessions). Companion to tunnel_watch_rl.sh; same rationale.
 #
-# Usage: scripts/tunnel_watch_estimator.sh [TOTAL_STEPS]
+# Usage: scripts/tunnel_watch_estimator.sh CATEGORY [TOTAL_STEPS] [CHUNK]
+#   CATEGORY in {cabinet, drawer, pot, mug}
 set -u
-TOTAL=${1:-4000}
-LOG=/tmp/est_train.log
-CKPT=saves/estimator_fast_cabinet_r2.ckpt
-SNAP=checkpoints/estimator_fast_cabinet_r2.ckpt
+CAT=${1:?category (cabinet|drawer|pot|mug)}
+TOTAL=${2:-4000}
+CHUNK=${3:-250}
+case "$CAT" in
+  cabinet) TASK=open_cabinet ;;
+  drawer)  TASK=open_drawer ;;
+  pot)     TASK=open_pot ;;
+  mug)     TASK=pick_mug ;;
+  *) echo "unknown category $CAT" >&2; exit 2 ;;
+esac
+LOG=/tmp/est_train_${CAT}.log
+CKPT=saves/estimator_fast_${CAT}_r3.ckpt
+SNAP=checkpoints/estimator_fast_${CAT}_r3.ckpt
 mkdir -p saves checkpoints
 # resume from the committed snapshot if the scratch ckpt was wiped
 if [ ! -f "$CKPT" ] && [ -f "$SNAP" ]; then cp "$SNAP" "$CKPT"; fi
-echo "[watch] $(date -u) waiting for tunnel..." >> "$LOG"
+snapshot() {  # atomic: never leave $SNAP as a partial file [ADVICE r2]
+  if [ -f "$CKPT" ] && { [ ! -f "$SNAP" ] || [ "$CKPT" -nt "$SNAP" ]; }; then
+    cp "$CKPT" "$SNAP.tmp" && mv "$SNAP.tmp" "$SNAP"
+  fi
+}
+echo "[watch] $(date -u) waiting for tunnel ($CAT)..." >> "$LOG"
 while :; do
   if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
-    echo "[watch] $(date -u) tunnel up — starting estimator chunked run" >> "$LOG"
+    echo "[watch] $(date -u) tunnel up — starting $CAT estimator run" >> "$LOG"
     break
   fi
   sleep 60
@@ -24,32 +39,38 @@ done
 # sidecar: refresh the committed snapshot every 3 min (the trainer writes
 # the scratch ckpt every 200 steps; chunk-end-only copies lose up to a full
 # chunk if the session dies mid-chunk)
-(
-  while :; do
-    sleep 180
-    if [ -f "$CKPT" ] && [ "$CKPT" -nt "$SNAP" ]; then cp "$CKPT" "$SNAP"; fi
-  done
-) &
+( while :; do sleep 180; snapshot; done ) &
 SIDECAR=$!
 trap 'kill $SIDECAR 2>/dev/null' EXIT
 DONE=0
+FAILS=0   # consecutive failures WITH the tunnel up ⇒ deterministic error, bail [ADVICE r2]
 while [ "$DONE" -lt "$TOTAL" ]; do
-  echo "=== chunk: +1000 steps (done $DONE/$TOTAL) ===" >> "$LOG"
+  echo "=== chunk: +$CHUNK steps (done $DONE/$TOTAL) ===" >> "$LOG"
   timeout 3600 python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
-    steps=1000 resume="$CKPT" save="$CKPT" \
-    dataset=cabinet_train task=open_cabinet task.num_envs=8 seed=7 \
+    steps=$CHUNK resume="$CKPT" save="$CKPT" \
+    dataset=${CAT}_train task=$TASK task.num_envs=8 seed=7 \
     img_size=192 backend=resnet18 backbone_stride=32 volume_scale=8 \
     n_depth=16 d_interval=0.15 warp_mode=nearest >> "$LOG" 2>&1
   rc=$?
-  if [ -f "$CKPT" ]; then cp "$CKPT" "$SNAP"; fi
+  snapshot
   if [ "$rc" -ne 0 ]; then
-    echo "[watch] $(date -u) chunk rc=$rc — re-waiting for tunnel" >> "$LOG"
-    while :; do
-      if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then break; fi
-      sleep 60
-    done
+    if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      FAILS=$((FAILS + 1))
+      echo "[watch] $(date -u) chunk rc=$rc with tunnel UP (fail $FAILS/3)" >> "$LOG"
+      if [ "$FAILS" -ge 3 ]; then
+        echo "[watch] $(date -u) 3 consecutive non-tunnel failures — bailing" >> "$LOG"
+        exit 1
+      fi
+    else
+      echo "[watch] $(date -u) chunk rc=$rc — tunnel down, re-waiting" >> "$LOG"
+      while :; do
+        if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then break; fi
+        sleep 60
+      done
+    fi
   else
-    DONE=$((DONE + 1000))
+    FAILS=0
+    DONE=$((DONE + CHUNK))
   fi
 done
-echo "[watch] $(date -u) training complete at $DONE steps" >> "$LOG"
+echo "[watch] $(date -u) $CAT training complete at $DONE steps" >> "$LOG"
