@@ -107,8 +107,9 @@ def main():
             key = jax.random.PRNGKey(0)
 
             def run(r1, r2, m, k_, e1, e2):
-                bbox, valid = est._estimate(est.params, est.batch_stats, k_,
-                                            r1, m, e1, r2, m, e2, key)
+                bbox, valid, _pose = est._estimate(est.params, est.batch_stats,
+                                                   k_, r1, m, e1, r2, m, e2,
+                                                   key)
                 return bbox
 
             iters = 10 if platform != "cpu" else 2

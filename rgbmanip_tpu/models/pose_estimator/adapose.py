@@ -216,7 +216,8 @@ class AdaPoseEstimator(BasePoseEstimator):
         bbox = G.get_3d_bbox(size)            # (3, 8)
         sRT = jnp.eye(4).at[:3, :3].set(tr).at[:3, 3].set(tt.reshape(-1))
         bbox_cam = G.transform_coordinates_3d(bbox, sRT)
-        return bbox_cam, ok & jnp.isfinite(bbox_cam).all()
+        return (bbox_cam, ok & jnp.isfinite(bbox_cam).all(),
+                tr, tt.reshape(-1), ts)
 
     def _estimate(self, params, batch_stats, K, rgb1, mask1, ext1, rgb2, mask2,
                   ext2, key):
@@ -259,7 +260,7 @@ class AdaPoseEstimator(BasePoseEstimator):
                           jnp.broadcast_to(jnp.eye(3), (B, 3, 3))).astype(jnp.float32)
 
         keys = jax.random.split(k3, B)
-        bbox_cam, ok = jax.vmap(self._solve_one)(
+        bbox_cam, ok, tr_all, tt_all, ts_all = jax.vmap(self._solve_one)(
             nocs1, depth1, choose1, newK1, R_pred, pts2d1, nocs2, pts2d2,
             K, ext1, ext2, keys)
 
@@ -270,7 +271,12 @@ class AdaPoseEstimator(BasePoseEstimator):
         bbox_world = jax.vmap(to_world)(bbox_cam, ext1)
         valid = ok1 & ok2 & ok & jnp.isfinite(bbox_world).reshape(B, -1).all(-1)
         default = jnp.asarray(DEFAULT_BBOX)
-        return jnp.where(valid[:, None, None], bbox_world, default), valid
+        # pose extras (view-1 camera frame): the explicit R/t/s the reference
+        # network predicts (network_v5.py:480-521) — used by evaluate.py for
+        # rotation/translation error parity metrics
+        pose = {"R_cam": tr_all, "t_cam": tt_all, "scale": ts_all}
+        return (jnp.where(valid[:, None, None], bbox_world, default), valid,
+                pose)
 
     # ------------------------------------------------------------------
     def append_picture(self, *args, **kwargs):
@@ -280,15 +286,33 @@ class AdaPoseEstimator(BasePoseEstimator):
 
     def estimate(self, camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2, ext2):
         """Batched estimate -> (B, 8, 3) world bboxes (numpy)."""
+        bbox, _, _ = self._call_estimate(camera_intrinsic, rgb1, mask1, ext1,
+                                         rgb2, mask2, ext2)
+        return np.asarray(bbox)
+
+    def estimate_full(self, camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2,
+                      ext2):
+        """Batched estimate returning the solved pose too: dict with
+        ``bbox`` (B,8,3) world, ``valid`` (B,), and the view-1-camera-frame
+        ``R_cam`` (B,3,3) / ``t_cam`` (B,3) / ``scale`` (B,) — the explicit
+        pose the reference's network predicts (network_v5.py:480-521)."""
+        bbox, valid, pose = self._call_estimate(
+            camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2, ext2)
+        return {"bbox": np.asarray(bbox), "valid": np.asarray(valid),
+                "R_cam": np.asarray(pose["R_cam"]),
+                "t_cam": np.asarray(pose["t_cam"]),
+                "scale": np.asarray(pose["scale"])}
+
+    def _call_estimate(self, camera_intrinsic, rgb1, mask1, ext1, rgb2, mask2,
+                       ext2):
         self.key, k = jax.random.split(self.key)
-        bbox, _ = self._estimate_fn(
+        return self._estimate_fn(
             self.params, self.batch_stats,
             jnp.asarray(camera_intrinsic, jnp.float32),
             jnp.asarray(rgb1, jnp.float32), jnp.asarray(mask1),
             jnp.asarray(ext1, jnp.float32),
             jnp.asarray(rgb2, jnp.float32), jnp.asarray(mask2),
             jnp.asarray(ext2, jnp.float32), k)
-        return np.asarray(bbox)
 
 
 def make_estimator(version: str, cfg: dict, logger, **kw) -> AdaPoseEstimator:

@@ -46,15 +46,20 @@ def evaluate(overrides=None, checkpoint: str = "saves/estimator_cabinet.ckpt",
     sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
                              seed=cfg.get("seed", 1234), reuse=1)
 
+    from ...utils.transform import quat_to_matrix
+
     center_errs, diag_errs, chamfers, n_valid, n_total = [], [], [], 0, 0
+    rot_errs, trans_errs = [], []
     for rnd in range(rounds):
         entry = sampler._render_entry()
         if entry is None:
             continue
-        img1, img2, _ = entry
-        bbox = est.estimate(img1["Intrinsic"], img1["Color"], img1["Mask"],
-                            img1["Extrinsic"], img2["Color"], img2["Mask"],
-                            img2["Extrinsic"])            # (B, 8, 3) world
+        img1, img2, frames = entry
+        out = est.estimate_full(
+            img1["Intrinsic"], img1["Color"], img1["Mask"],
+            img1["Extrinsic"], img2["Color"], img2["Mask"],
+            img2["Extrinsic"])
+        bbox = out["bbox"]                                # (B, 8, 3) world
         gt = np.asarray(env.handle_bbox())                # (B, 8, 3) world
         for e in range(env.num_envs):
             n_total += 1
@@ -69,17 +74,36 @@ def evaluate(overrides=None, checkpoint: str = "saves/estimator_cabinet.ckpt",
             diag_errs.append(float(abs(pd - gd)))
             d = np.linalg.norm(pred[:, None] - gt[e][None], axis=-1)
             chamfers.append(float((d.min(0).mean() + d.min(1).mean()) / 2))
+            # explicit-pose parity metrics (reference network_v5.py:480-521
+            # predicts R/t/s; BASELINE names rot/trans error): gt NOCS->cam
+            # pose from the part frame captured at render time (data.py
+            # _labels_for_view), pred pose from the solve (estimate_full)
+            part, center, _ext, _diag = frames[e]
+            E = img1["Extrinsic"][e]
+            R_lab = E[:3, :3] @ quat_to_matrix(part.q)
+            c_world = part.transform_points(center[None])[0]
+            t_lab = E[:3, :3] @ c_world + E[:3, 3]
+            Rrel = out["R_cam"][e].T @ R_lab
+            cosang = np.clip((np.trace(Rrel) - 1.0) / 2.0, -1.0, 1.0)
+            rot_errs.append(float(np.degrees(np.arccos(cosang))))
+            trans_errs.append(float(np.linalg.norm(out["t_cam"][e] - t_lab)))
         if (rnd + 1) % 4 == 0 and center_errs:
             log.info(f"round {rnd + 1}/{rounds}: center "
                      f"{np.mean(center_errs):.4f} m diag "
                      f"{np.mean(diag_errs):.4f} m chamfer "
-                     f"{np.mean(chamfers):.4f} m "
+                     f"{np.mean(chamfers):.4f} m rot "
+                     f"{np.mean(rot_errs):.2f} deg trans "
+                     f"{np.mean(trans_errs):.4f} m "
                      f"valid {n_valid}/{n_total}")
     stats = {
         "center_err_m": float(np.mean(center_errs)) if center_errs else float("nan"),
         "center_err_med_m": float(np.median(center_errs)) if center_errs else float("nan"),
         "diag_err_m": float(np.mean(diag_errs)) if diag_errs else float("nan"),
         "chamfer_m": float(np.mean(chamfers)) if chamfers else float("nan"),
+        "rot_err_deg": float(np.mean(rot_errs)) if rot_errs else float("nan"),
+        "rot_err_med_deg": float(np.median(rot_errs)) if rot_errs else float("nan"),
+        "trans_err_m": float(np.mean(trans_errs)) if trans_errs else float("nan"),
+        "trans_err_med_m": float(np.median(trans_errs)) if trans_errs else float("nan"),
         "valid_frac": n_valid / max(1, n_total),
     }
     log.info("FINAL " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))

@@ -55,11 +55,19 @@ for rnd in range(rounds):
     dof = env.obj_dof()[:, 0]
     ok = dof > cfg["task"]["object_conf"]["success_dof"][0]
     grasped = env.grasped()
+    # an episode can abort before gripper-close (planner/IK exception);
+    # skip the round instead of dying and losing prior rounds' output
+    if snap.get("close") is None or snap.get("targets") is None:
+        print(f"rnd {rnd}: aborted before grasp (no close/targets snap) "
+              f"ok={ok.tolist()}")
+        snap.clear()
+        env.reset()
+        continue
     center, gp, hp = snap["close"]
     d = np.linalg.norm(gp - center, axis=-1)
     dz = gp[:, 2] - center[:, 2]
     dxy = np.linalg.norm((gp - center)[:, :2], axis=-1)
-    base = np.array([0.0, 0.0, 0.15])
+    base = env.robot_pose()[0, :3]  # not hardcoded: follows robot_conf.init_pose
     tg = snap["targets"]
     pre, grasp_t = tg[0], tg[1] if len(tg) > 1 else tg[0]
     for i in range(len(dof)):

@@ -111,3 +111,17 @@ def test_realworld_estimator_consumes_env_images():
                          i1["Extrinsic"], i2["Color"], i2["Mask"],
                          i2["Extrinsic"])
     assert (bbox2 >= 9.0).all()
+
+
+def test_default_calibration_file_loads():
+    """The default hand-eye calibration path must exist in the tree and load
+    (reference ships env/realworld_envs/panda_rs_handeyecalibration_eye_on_hand.yaml;
+    a missing file silently falls back to a hardcoded transform)."""
+    import os
+    from rgbmanip_tpu.envs.realworld.base_realworld import (
+        CALIB_FILE, BaseRealworldEnv)
+    assert os.path.exists(CALIB_FILE), CALIB_FILE
+    env = BaseRealworldEnv(logger=LOG)
+    # values from the shipped fixture, not the hardcoded fallback
+    assert abs(env.hand_cam_pose.p[0] - 0.07) < 1e-6
+    assert abs(env.hand_cam_pose.q[3] - 0.7071068) < 1e-6
