@@ -1998,6 +1998,7 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
 
     static const bool plan_debug = std::getenv("SC_PLAN_DEBUG") != nullptr;
     PlanContext ctx;
+    bool ctx_has_wall = use_wall != 0;
     build_obstacles(e, use_wall != 0, &ctx);
     // The wall is a virtual planning aid, not real geometry. If the CURRENT
     // config already "collides" with it (e.g. the arm sits in front of a
@@ -2009,7 +2010,10 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       if (use_wall && config_in_collision(ctx, qcur.data())) {
         PlanContext nowall;
         build_obstacles(e, false, &nowall);
-        if (!config_in_collision(nowall, qcur.data())) ctx = nowall;
+        if (!config_in_collision(nowall, qcur.data())) {
+          ctx = nowall;
+          ctx_has_wall = false;
+        }
       }
       // contacts still present at the start config (e.g. the hand resting
       // against the cabinet after a previous move) become allowed pairs —
@@ -2053,7 +2057,10 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       PlanContext walled = ctx;
       ctx = nowall;
       goal_ok = find_goal(target, nullptr);
-      if (!goal_ok) ctx = walled;
+      if (goal_ok)
+        ctx_has_wall = false;
+      else
+        ctx = walled;
     }
     if (!goal_ok && ik_ok) {
       const double backs[3] = {0.08, 0.16, 0.26};
@@ -2073,6 +2080,32 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       // re-aim in 6 cm steps from there.
       goal_ok = find_goal_rw(target, &ik_ok, 0.25);
     }
+    if (!goal_ok && use_wall) {
+      // tier 4: repeat the retreat + soft-orientation rescues against REAL
+      // geometry only. The virtual wall plane sweeps a wide-open door's
+      // whole workspace corridor; every standoff the earlier tiers try can
+      // sit "inside" it even though the arm fits fine around the actual
+      // part (close_* approaches hit this — the blind ik fallback then
+      // shoves the door to its limit and the grasp misses).
+      PlanContext nowall;
+      build_obstacles(e, false, &nowall);
+      ctx = nowall;
+      ctx_has_wall = false;
+      {
+        std::vector<double> qcur(r.q.begin(), r.q.begin() + e.n_arm);
+        if (config_in_collision(ctx, qcur.data()))
+          seed_allowed_collisions(ctx, qcur.data());
+      }
+      goal_ok = find_goal(target, nullptr);
+      const double backs[3] = {0.08, 0.16, 0.26};
+      Vec3 fwd = target.q.rotate(Vec3{0, 0, 1});
+      for (int bi = 0; bi < 3 && !goal_ok; bi++) {
+        Pose t2 = target;
+        t2.p = target.p - fwd * backs[bi];
+        goal_ok = find_goal(t2, nullptr);
+      }
+      if (!goal_ok) goal_ok = find_goal_rw(target, &ik_ok, 0.25);
+    }
     if (!goal_ok) {
       if (plan_debug) {
         int hl = -2, ho = -2;
@@ -2087,7 +2120,25 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
     }
     std::vector<std::vector<double>> path;
     std::vector<double> goal_v(goal, goal + 7);
-    if (!rrt_connect(ctx, q0, goal_v, &path)) {
+    bool rrt_ok = rrt_connect(ctx, q0, goal_v, &path);
+    if (!rrt_ok && ctx_has_wall) {
+      // RRT couldn't connect with the virtual wall up (the wall plane can
+      // pinch off the only corridor between start and goal even when both
+      // endpoints are valid). Retry against real geometry only before the
+      // blind straight-line fallback.
+      PlanContext nowall;
+      build_obstacles(e, false, &nowall);
+      std::vector<double> qcur(r.q.begin(), r.q.begin() + e.n_arm);
+      if (config_in_collision(nowall, qcur.data()))
+        seed_allowed_collisions(nowall, qcur.data());
+      if (!config_in_collision(nowall, goal_v.data())) {
+        path.clear();
+        rrt_ok = rrt_connect(nowall, q0, goal_v, &path);
+        if (plan_debug && rrt_ok)
+          fprintf(stderr, "[plan %d] rrt rescued without wall\n", i);
+      }
+    }
+    if (!rrt_ok) {
       if (plan_debug)
         fprintf(stderr, "[plan %d] rrt failed (start in collision: %d)\n", i,
                 (int)config_in_collision(ctx, q0.data()));
