@@ -1214,13 +1214,18 @@ static bool config_in_collision(PlanContext& ctx, const double* q7,
 }
 
 // Seed ctx.allowed with every (link, obstacle) pair in contact at q7.
-static void seed_allowed_collisions(PlanContext& ctx, const double* q7) {
+// min_link restricts the sweep to links >= min_link (e.g. wrist+gripper
+// only, for goal configs that intentionally straddle the target part);
+// clear controls whether previously allowed pairs are kept.
+static void seed_allowed_collisions(PlanContext& ctx, const double* q7,
+                                    int min_link = 0, bool clear = true) {
   Articulation& r = ctx.env->robot();
   std::vector<double> save = r.q;
   for (int i = 0; i < ctx.env->n_arm; i++) r.q[i] = q7[i];
   r.fk();
-  ctx.allowed.clear();
+  if (clear) ctx.allowed.clear();
   for (const CollSphere& s : ctx.rob_spheres) {
+    if (s.link < min_link) continue;
     Vec3 c = r.link_pose[s.link].apply(s.local);
     for (size_t bi = 0; bi < ctx.obstacles.size(); bi++)
       if (sphere_obb_hit(c, s.r, ctx.obstacles[bi])) {
@@ -2041,6 +2046,27 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
     };
     bool ik_ok = false;
     bool goal_ok = find_goal(target, &ik_ok);
+    if (!goal_ok && ik_ok) {
+      // tier 0: grasp-approach goals intentionally straddle the part (the
+      // skills command the open fingers around the handle, ~1 cm short of
+      // it) — the sphere-vs-OBB check sees that as collision, and without
+      // this tier the retreat rescue below stops the hand 8+ cm short so
+      // the gripper closes on air (the open-loop skills never grasp).
+      // Allow the SPECIFIC (link, obstacle) pairs in contact at the goal
+      // config for the wrist and up (ee_link-2 covers flange+hand+fingers
+      // — the sphere approximation inflates the wrist enough to graze the
+      // door face at straddle poses the real convex geometry clears; mplib
+      // plans these fine in the reference). Arm-link or ground collisions
+      // at the goal still fail it to the retreat tiers below, and transit
+      // stays fully checked for all non-allowed pairs.
+      std::vector<std::pair<int, int>> saved_allowed = ctx.allowed;
+      seed_allowed_collisions(ctx, goal, e.ee_link - 2, /*clear=*/false);
+      goal_ok = !config_in_collision(ctx, goal);
+      if (!goal_ok) ctx.allowed = saved_allowed;  // arm/ground hit: undo
+      else if (plan_debug)
+        fprintf(stderr, "[plan %d] tier0: goal rescued with %d gripper pairs\n",
+                i, (int)(ctx.allowed.size() - saved_allowed.size()));
+    }
     // Every IK solution collides. Two rescue tiers before the straight-line
     // fallback (which bulldozes whatever stands between — with an open door
     // in the goal region it shoves the part to its joint limit and the
