@@ -44,9 +44,14 @@ SIDECAR=$!
 trap 'kill $SIDECAR 2>/dev/null' EXIT
 DONE=0
 FAILS=0   # consecutive failures WITH the tunnel up ⇒ deterministic error, bail [ADVICE r2]
+# Chunk timeout must scale with CHUNK: under contention the trainer runs at
+# ~0.3 it/s plus ~10 min first-compile, so a 1000-step chunk can exceed a
+# fixed 3600s and be miscounted as a failure even though the checkpoint
+# advanced the whole time.
+TMOUT=$((CHUNK * 5 + 1500))
 while [ "$DONE" -lt "$TOTAL" ]; do
   echo "=== chunk: +$CHUNK steps (done $DONE/$TOTAL) ===" >> "$LOG"
-  timeout 3600 python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
+  timeout $TMOUT python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
     steps=$CHUNK resume="$CKPT" save="$CKPT" \
     dataset=${CAT}_train task=$TASK task.num_envs=8 seed=7 \
     img_size=192 backend=resnet18 backbone_stride=32 volume_scale=8 \
