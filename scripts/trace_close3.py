@@ -14,7 +14,8 @@ from rgbmanip_tpu.utils.logger import get_logger
 
 task = sys.argv[1] if len(sys.argv) > 1 else "close_cabinet"
 rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-cfg = load_config([f"dataset=cabinet_train", f"task={task}",
+dataset = sys.argv[3] if len(sys.argv) > 3 else "cabinet_train"
+cfg = load_config([f"dataset={dataset}", f"task={task}",
                    f"manipulation={task}", "controller=gt_pose",
                    "pose_estimator=ground_truth", "train=test",
                    "task.num_envs=8"])
