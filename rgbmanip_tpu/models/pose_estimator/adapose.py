@@ -99,6 +99,16 @@ class AdaPoseEstimator(BasePoseEstimator):
 
         if cfg.get("load") and cfg.get("checkpoint_path"):
             self.load(cfg["checkpoint_path"])
+        else:
+            # Never run learned perception on random weights silently: the
+            # parity-shaped per-category configs point at the reference's
+            # released .pth files (absent from this image) with load: false.
+            self.logger.warning(
+                "estimator running with RANDOM weights (load=%s, "
+                "checkpoint_path=%s) — estimates will be garbage; use the "
+                "adapose_*_fast configs with in-framework-trained "
+                "checkpoints, or provide the checkpoint and set load: true",
+                cfg.get("load"), cfg.get("checkpoint_path"))
 
         self._estimate_fn = jax.jit(self._estimate)
         self._forward_fn = jax.jit(self._forward)
