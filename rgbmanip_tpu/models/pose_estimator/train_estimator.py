@@ -27,7 +27,8 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
           n_pts: int = 1024, lr: float = 1e-4, save_path: str = "saves/estimator.ckpt",
           dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
           env=None, est_overrides: dict | None = None, reuse: int = 8,
-          buffer_size: int = 32, resume: str = ""):
+          buffer_size: int = 32, resume: str = "", policy_ckpt: str = "",
+          policy_mix: float = 0.5, policy_noise: float = 0.15):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -50,11 +51,21 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
         est_cfg.update(load=True, checkpoint_path=resume)
     est = AdaPoseEstimator(est_cfg, log, dtype=dtype)
     trainer = EstimatorTrainer(est.model, est.params, est.batch_stats, lr=lr)
-    sampler = SimViewSampler(env, img_size=img_size, n_pts=n_pts,
-                             seed=cfg.get("seed", 0), reuse=reuse,
-                             buffer_size=buffer_size,
-                             d_min=est.d_min, d_interval=est.d_interval,
-                             n_depth=est.n_depth)
+    sampler_kw = dict(img_size=img_size, n_pts=n_pts,
+                      seed=cfg.get("seed", 0), reuse=reuse,
+                      buffer_size=buffer_size,
+                      d_min=est.d_min, d_interval=est.d_interval,
+                      n_depth=est.n_depth)
+    if policy_ckpt:
+        # DAgger pass: sample views from the trained RL camera scheduler
+        # (requires controller=rl in the overrides for the scheduler cfg)
+        from .data import PolicyViewSampler
+        log.info(f"policy-view sampling from {policy_ckpt} "
+                 f"(mix={policy_mix}, noise={policy_noise})")
+        sampler = PolicyViewSampler(env, cfg, policy_ckpt, mix=policy_mix,
+                                    noise=policy_noise, **sampler_kw)
+    else:
+        sampler = SimViewSampler(env, **sampler_kw)
     writer = MetricsWriter("logs/estimator")
 
     t0 = time.time()
@@ -86,7 +97,8 @@ def main():
     local = ("steps", "img_size", "n_pts", "lr", "save", "log_every", "bf16",
              "volume_scale", "warp_mode", "backend", "n_depth",
              "volume_channels", "backbone_stride", "d_interval", "d_min",
-             "reuse", "buffer_size", "resume")
+             "reuse", "buffer_size", "resume", "policy_ckpt", "policy_mix",
+             "policy_noise")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -108,6 +120,9 @@ def main():
           est_overrides=est_overrides, reuse=int(kv.get("reuse", 8)),
           buffer_size=int(kv.get("buffer_size", 32)),
           resume=kv.get("resume", ""),
+          policy_ckpt=kv.get("policy_ckpt", ""),
+          policy_mix=float(kv.get("policy_mix", 0.5)),
+          policy_noise=float(kv.get("policy_noise", 0.15)),
           log_every=int(kv.get("log_every", 10)))
 
 
