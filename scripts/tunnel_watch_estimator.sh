@@ -4,12 +4,21 @@
 # checkpoint into the committed checkpoints/ directory (saves/ is wiped
 # between sessions). Companion to tunnel_watch_rl.sh; same rationale.
 #
-# Usage: scripts/tunnel_watch_estimator.sh CATEGORY [TOTAL_STEPS] [CHUNK]
+# Usage: scripts/tunnel_watch_estimator.sh CATEGORY [TOTAL_STEPS] [CHUNK] [extra trainer args...]
 #   CATEGORY in {cabinet, drawer, pot, mug}
+#   SUFFIX (env, default _r3) names the checkpoint pair saves/ + checkpoints/
+#   INIT (env) seeds the scratch ckpt from an existing checkpoint when neither
+#     the scratch nor the snapshot exists (e.g. DAgger fine-tune from the
+#     collection-trained weights)
+# Extra args after CHUNK go straight to train_estimator (e.g. controller=rl
+# policy_ckpt=... policy_mix=0.5 for the DAgger pass).
 set -u
 CAT=${1:?category (cabinet|drawer|pot|mug)}
 TOTAL=${2:-4000}
 CHUNK=${3:-250}
+shift 3 2>/dev/null || shift $#
+EXTRA=("$@")
+SUFFIX=${SUFFIX:-_r3}
 case "$CAT" in
   cabinet) TASK=open_cabinet ;;
   drawer)  TASK=open_drawer ;;
@@ -17,12 +26,14 @@ case "$CAT" in
   mug)     TASK=pick_mug ;;
   *) echo "unknown category $CAT" >&2; exit 2 ;;
 esac
-LOG=/tmp/est_train_${CAT}.log
-CKPT=saves/estimator_fast_${CAT}_r3.ckpt
-SNAP=checkpoints/estimator_fast_${CAT}_r3.ckpt
+LOG=/tmp/est_train_${CAT}${SUFFIX}.log
+CKPT=saves/estimator_fast_${CAT}${SUFFIX}.ckpt
+SNAP=checkpoints/estimator_fast_${CAT}${SUFFIX}.ckpt
 mkdir -p saves checkpoints
 # resume from the committed snapshot if the scratch ckpt was wiped
 if [ ! -f "$CKPT" ] && [ -f "$SNAP" ]; then cp "$SNAP" "$CKPT"; fi
+# seed a brand-new run from INIT (fine-tune), if given
+if [ ! -f "$CKPT" ] && [ -n "${INIT:-}" ] && [ -f "${INIT:-}" ]; then cp "$INIT" "$CKPT"; fi
 snapshot() {  # atomic: never leave $SNAP as a partial file [ADVICE r2]
   if [ -f "$CKPT" ] && { [ ! -f "$SNAP" ] || [ "$CKPT" -nt "$SNAP" ]; }; then
     cp "$CKPT" "$SNAP.tmp" && mv "$SNAP.tmp" "$SNAP"
@@ -55,7 +66,7 @@ while [ "$DONE" -lt "$TOTAL" ]; do
     steps=$CHUNK resume="$CKPT" save="$CKPT" \
     dataset=${CAT}_train task=$TASK task.num_envs=8 seed=7 \
     img_size=192 backend=resnet18 backbone_stride=32 volume_scale=8 \
-    n_depth=16 d_interval=0.15 warp_mode=nearest >> "$LOG" 2>&1
+    n_depth=16 d_interval=0.15 warp_mode=nearest "${EXTRA[@]}" >> "$LOG" 2>&1
   rc=$?
   snapshot
   if [ "$rc" -ne 0 ]; then
