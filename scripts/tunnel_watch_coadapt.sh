@@ -1,0 +1,44 @@
+#!/bin/bash
+# Co-adaptation round for the flagship: resume the trained RL camera
+# scheduler (model_125) and continue PPO WITH the DAgger-finetuned
+# estimator in the loop, so the policy re-adapts its view selection to
+# the estimator it is evaluated with (and the estimator was itself
+# fine-tuned on this policy's views — one DAgger/co-adaptation cycle).
+# Snapshots each chunk's latest model into checkpoints/ (saves/ is wiped
+# between sessions).
+#
+# Usage: scripts/tunnel_watch_coadapt.sh [TOTAL_ITERS] [CHUNK]
+set -u
+TOTAL=${1:-165}
+CHUNK=${2:-20}
+SAVE_DIR=saves/ppo_rl_coadapt
+LOG=/tmp/rl_coadapt.log
+mkdir -p "$SAVE_DIR"
+# seed from the committed flagship checkpoint if the dir is empty
+if ! ls "$SAVE_DIR"/model_*.ckpt >/dev/null 2>&1; then
+  cp checkpoints/ppo_rl_adapose_model_125.ckpt "$SAVE_DIR/model_125.ckpt"
+fi
+snapshot() {
+  LATEST=$(ls -t "$SAVE_DIR"/model_*.ckpt 2>/dev/null | head -1)
+  if [ -n "$LATEST" ]; then
+    IT=$(basename "$LATEST" | sed 's/model_\([0-9]*\)\.ckpt/\1/')
+    cp "$LATEST" "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt.tmp" &&
+      mv "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt.tmp" \
+         "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt"
+  fi
+}
+echo "[watch] $(date -u) waiting for tunnel (coadapt)..." >> "$LOG"
+while :; do
+  if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then break; fi
+  sleep 60
+done
+( while :; do sleep 600; snapshot; done ) &
+SIDECAR=$!
+trap 'kill $SIDECAR 2>/dev/null' EXIT
+bash scripts/train_rl_chunked.sh "$SAVE_DIR" "$TOTAL" "$CHUNK" \
+  dataset=cabinet_train task=open_cabinet manipulation=open_cabinet \
+  controller=rl pose_estimator=adapose_cabinet_fast \
+  pose_estimator.checkpoint_path=checkpoints/estimator_fast_cabinet_dagger_r3.ckpt \
+  task.num_envs=16 seed=3 exp_name=rl_coadapt >> "$LOG" 2>&1
+snapshot
+echo "[watch] $(date -u) coadapt complete" >> "$LOG"
