@@ -119,7 +119,9 @@ def main():
             if fps > best_fps:
                 best_fps, best_B = fps, B
         except Exception as e:  # OOM at this batch size: try smaller
-            sys.stderr.write(f"bench: batch {B} failed ({type(e).__name__}); retrying\n")
+            msg = str(e).replace("\n", " ")[:300]
+            sys.stderr.write(f"bench: batch {B} failed ({type(e).__name__}): "
+                             f"{msg}\n")
             continue
 
     print(json.dumps({
