@@ -128,7 +128,16 @@ class ControlInterface:
         return np.concatenate([flat, onehot], axis=-1).astype(np.float32)
 
     def get_estimation(self):
-        """Estimate from the last two valid views (reference rl_pose.py:189-223)."""
+        """Estimate from the last two valid views (reference rl_pose.py:189-223).
+
+        Deviation: the reference reorders mug bboxes ``[0,2,4,6,1,3,5,7]``
+        (rl_pose.py:220-221) because its externally-trained mug AdaPose
+        checkpoint emits a different corner convention. Our in-framework
+        estimators are trained on env-convention corner labels, so their
+        output already matches the ``(0, 7)`` center read downstream — no
+        reorder (verified: heuristic+AdaPose mug succeeds where the
+        reference heuristic row is 0/0).
+        """
         if isinstance(self.estimator, GroundTruthPoseEstimator):
             return np.asarray(self.estimator.estimate())
         N = self.num_envs
