@@ -29,7 +29,7 @@ snapshot() {
 }
 echo "[watch] $(date -u) waiting for tunnel (coadapt)..." >> "$LOG"
 while :; do
-  if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then break; fi
+  if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then break; fi
   sleep 60
 done
 ( while :; do sleep 600; snapshot; done ) &

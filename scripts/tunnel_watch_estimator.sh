@@ -41,7 +41,7 @@ snapshot() {  # atomic: never leave $SNAP as a partial file [ADVICE r2]
 }
 echo "[watch] $(date -u) waiting for tunnel ($CAT)..." >> "$LOG"
 while :; do
-  if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then
     echo "[watch] $(date -u) tunnel up — starting $CAT estimator run" >> "$LOG"
     break
   fi
@@ -70,7 +70,7 @@ while [ "$DONE" -lt "$TOTAL" ]; do
   rc=$?
   snapshot
   if [ "$rc" -ne 0 ]; then
-    if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then
       FAILS=$((FAILS + 1))
       echo "[watch] $(date -u) chunk rc=$rc with tunnel UP (fail $FAILS/3)" >> "$LOG"
       if [ "$FAILS" -ge 3 ]; then
@@ -80,7 +80,7 @@ while [ "$DONE" -lt "$TOTAL" ]; do
     else
       echo "[watch] $(date -u) chunk rc=$rc — tunnel down, re-waiting" >> "$LOG"
       while :; do
-        if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then break; fi
+        if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then break; fi
         sleep 60
       done
     fi

@@ -6,7 +6,7 @@ set -u
 LOG=/tmp/rl_adapose.log
 echo "[watch] $(date -u) waiting for tunnel..." >> "$LOG"
 while :; do
-  if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then
     echo "[watch] $(date -u) tunnel up — starting RL chunked run" >> "$LOG"
     break
   fi
