@@ -11,20 +11,26 @@
 set -u
 TOTAL=${1:-165}
 CHUNK=${2:-20}
-SAVE_DIR=saves/ppo_rl_coadapt
-LOG=/tmp/rl_coadapt.log
+# Overridable for later bursts (e.g. burst 2: EST=dagger2 ckpt, SEED from
+# model_165, TAG=coadapt2).
+TAG=${TAG:-coadapt}
+EST=${EST:-checkpoints/estimator_fast_cabinet_dagger_r3.ckpt}
+SEED_CKPT=${SEED_CKPT:-checkpoints/ppo_rl_adapose_model_125.ckpt}
+SAVE_DIR=saves/ppo_rl_${TAG}
+LOG=/tmp/rl_${TAG}.log
 mkdir -p "$SAVE_DIR"
-# seed from the committed flagship checkpoint if the dir is empty
+# seed from the committed checkpoint if the dir is empty
 if ! ls "$SAVE_DIR"/model_*.ckpt >/dev/null 2>&1; then
-  cp checkpoints/ppo_rl_adapose_model_125.ckpt "$SAVE_DIR/model_125.ckpt"
+  IT=$(basename "$SEED_CKPT" | sed 's/.*model_\([0-9]*\)\.ckpt/\1/')
+  cp "$SEED_CKPT" "$SAVE_DIR/model_${IT}.ckpt"
 fi
 snapshot() {
   LATEST=$(ls -t "$SAVE_DIR"/model_*.ckpt 2>/dev/null | head -1)
   if [ -n "$LATEST" ]; then
     IT=$(basename "$LATEST" | sed 's/model_\([0-9]*\)\.ckpt/\1/')
-    cp "$LATEST" "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt.tmp" &&
-      mv "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt.tmp" \
-         "checkpoints/ppo_rl_coadapt_model_${IT}.ckpt"
+    cp "$LATEST" "checkpoints/ppo_rl_${TAG}_model_${IT}.ckpt.tmp" &&
+      mv "checkpoints/ppo_rl_${TAG}_model_${IT}.ckpt.tmp" \
+         "checkpoints/ppo_rl_${TAG}_model_${IT}.ckpt"
   fi
 }
 echo "[watch] $(date -u) waiting for tunnel (coadapt)..." >> "$LOG"
@@ -38,7 +44,7 @@ trap 'kill $SIDECAR 2>/dev/null' EXIT
 bash scripts/train_rl_chunked.sh "$SAVE_DIR" "$TOTAL" "$CHUNK" \
   dataset=cabinet_train task=open_cabinet manipulation=open_cabinet \
   controller=rl pose_estimator=adapose_cabinet_fast \
-  pose_estimator.checkpoint_path=checkpoints/estimator_fast_cabinet_dagger_r3.ckpt \
-  task.num_envs=16 seed=3 exp_name=rl_coadapt >> "$LOG" 2>&1
+  pose_estimator.checkpoint_path=$EST \
+  task.num_envs=16 seed=3 exp_name=rl_${TAG} >> "$LOG" 2>&1
 snapshot
 echo "[watch] $(date -u) coadapt complete" >> "$LOG"
