@@ -380,8 +380,10 @@ class RLPoseController(BaseController):
         iface = self.control_interface
         current_obs = iface.reset(reset_env=False)
         cur_step = 0
-        max_step = self.cfg["controller"]["early_stop"] \
-            if "controller" in self.cfg else 4
+        # self.cfg IS the controller group dict (BaseController stores
+        # ctrl_cfg); the reference reads cfg['controller']['early_stop']
+        # from the root cfg (rl_pose.py:491) — same knob, one level down.
+        max_step = int(self.cfg.get("early_stop", 4))
         while True:
             cur_step += 1
             actions = self.controller.act_inference(current_obs)
