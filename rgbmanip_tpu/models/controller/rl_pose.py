@@ -382,8 +382,13 @@ class RLPoseController(BaseController):
         cur_step = 0
         # self.cfg IS the controller group dict (BaseController stores
         # ctrl_cfg); the reference reads cfg['controller']['early_stop']
-        # from the root cfg (rl_pose.py:491) — same knob, one level down.
-        max_step = int(self.cfg.get("early_stop", 4))
+        # from the root cfg (rl_pose.py:491). The shipped yaml nests the
+        # knob under the group's inner 'controller:' dict while the CLI
+        # override 'controller.early_stop=k' lands at the group top level
+        # — honor both, CLI winning.
+        ctrl = self.cfg["controller"] if isinstance(self.cfg.get("controller"), dict) \
+            else self.cfg
+        max_step = int(self.cfg.get("early_stop", ctrl.get("early_stop", 4)))
         while True:
             cur_step += 1
             actions = self.controller.act_inference(current_obs)

@@ -52,7 +52,7 @@ class CloseCabinetManipulation(BaseManipulation):
         init_dir = pre_grasp_axis.copy()
         start_p = self.env.gripper_pose()[:, :3]
         peak = np.zeros(batch)
-        # Stall escape + gated extra budget (traced in trace_close3.py on the
+        # Stall escape + gated extra budget (traced in trace_close.py on the
         # test split: 24/35 failures freeze at a constant dof with the grasp
         # held — the straight chord jams the handle against the swinging
         # face and the `moved` guard then freezes cur_dir forever). When a
@@ -187,7 +187,7 @@ class CloseCabinetManipulation(BaseManipulation):
             # in WHICHEVER swing sense the episode stumbled into — once a
             # grasp disturbance starts the door swinging open, the update
             # locks onto the opening arc and happily opens it all the way
-            # (traced in scripts/trace_close3.py). Closing must move the
+            # (traced in scripts/trace_close.py). Closing must move the
             # handle monotonically inward: when the displacement along the
             # initial inward axis regresses >3 cm from its running PEAK
             # (not the grasp start — slow re-opening after early progress

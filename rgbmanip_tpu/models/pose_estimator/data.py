@@ -242,13 +242,11 @@ class PolicyViewSampler(SimViewSampler):
         from ...algo.ppo import PPO
 
         ctrl_cfg = copy.deepcopy(cfg["controller"])
-        if "controller" in ctrl_cfg and isinstance(ctrl_cfg["controller"], dict):
-            inner = ctrl_cfg["controller"]
-        else:
-            inner = ctrl_cfg
-        # view sampling must never trigger manipulation mid-episode
-        inner.setdefault("reward", {})
-        inner["reward"]["success_coef"] = 0.0
+        # view sampling must never trigger manipulation mid-episode.
+        # ControlInterface reads rewards from the GROUP-level dict
+        # (rl_pose.py: reward_cfg = cfg['controller']['reward']), so the
+        # override must land there — not in the nested 'controller:' dict.
+        ctrl_cfg.setdefault("reward", {})["success_coef"] = 0.0
         gt_est = GroundTruthPoseEstimator(env, {}, None)
         iface_cfg = {"controller": ctrl_cfg, "task": cfg.get("task", {})}
         self._iface = ControlInterface(env, gt_est, None, iface_cfg)

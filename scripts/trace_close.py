@@ -1,7 +1,6 @@
-"""Trace close_cabinet failures: per-episode grasp engagement, dof trajectory.
-
-Usage: python scripts/trace_close.py [close_cabinet|close_drawer] [episodes]
-"""
+"""Categorize close_cabinet failures: run the REAL skill, record dof after
+grasp and after each push step (by wrapping env.gripper_move_to), plus
+grasped state, for N rounds. Prints a per-episode table + failure buckets."""
 import sys
 
 sys.path.insert(0, ".")
@@ -9,44 +8,64 @@ sys.path.insert(0, ".")
 import numpy as np
 
 from rgbmanip_tpu.config import load_config
-from rgbmanip_tpu.train import prepare_env, prepare_manipulation, prepare_pose_estimator, prepare_controller
+from rgbmanip_tpu.train import (prepare_env, prepare_manipulation,
+                                prepare_pose_estimator, prepare_controller)
 from rgbmanip_tpu.utils.logger import get_logger
 
 task = sys.argv[1] if len(sys.argv) > 1 else "close_cabinet"
-n_eps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-ds = "cabinet_train" if "cabinet" in task else "drawer_train"
-cfg = load_config([f"dataset={ds}", f"task={task}", f"manipulation={task}",
-                   "controller=gt_pose", "pose_estimator=ground_truth",
-                   "train=test", "task.num_envs=8"])
-log = get_logger()
+rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+dataset = sys.argv[3] if len(sys.argv) > 3 else "cabinet_train"
+cfg = load_config([f"dataset={dataset}", f"task={task}",
+                   f"manipulation={task}", "controller=gt_pose",
+                   "pose_estimator=ground_truth", "train=test",
+                   "task.num_envs=8"])
+log = get_logger(); log.setLevel("WARNING")
 env = prepare_env(cfg["task"], cfg["dataset"], True, False, log, seed=0)
 manip = prepare_manipulation(env, cfg["manipulation"], log)
 est = prepare_pose_estimator(env, cfg["pose_estimator"], log)
 ctrl = prepare_controller(env, est, manip, cfg["controller"], cfg, log)
 
-# monkeypatch the push loop to record dof before/after each phase
-orig_plan = manip.plan_pathway
-rows = []
+trace = []
 
-def plan(center, axis, eval=False):
-    dof0 = env.obj_dof()[:, 0].copy()
-    # run up to grasp: replicate skill phases by instrumenting gripper_move_to
-    orig_plan(center, axis, eval=eval)
-    rows.append((dof0, env.grasped().copy(), env.obj_dof()[:, 0].copy()))
 
-manip.plan_pathway = plan
-succ = 0
-tot = 0
-for rnd in range(n_eps // env.num_envs):
+def wrap(name, tag):
+    orig = getattr(env, name)
+
+    def f(*a, **kw):
+        r = orig(*a, **kw)
+        trace.append((tag, env.obj_dof()[:, 0].copy(),
+                      env.grasped().astype(int).copy()))
+        return r
+
+    setattr(env, name, f)
+
+
+wrap("gripper_move_to", "push")
+wrap("hand_move_to", "hand")
+orig_cm = env.class_method
+
+
+def traced_cm(name, **kw):
+    r = orig_cm(name, **kw)
+    if name == "toggle_gripper":
+        trace.append(("grip", env.obj_dof()[:, 0].copy(),
+                      env.grasped().astype(int).copy()))
+    return r
+
+
+env.class_method = traced_cm
+
+for rnd in range(rounds):
     env.reset()
+    trace.clear()
+    d0 = env.obj_dof()[:, 0].copy()
     ctrl.run(eval=True)
     obs = env.get_observation()
-    s = obs["success"]
-    dof0, grasped, dof1 = rows[-1]
-    for i in range(env.num_envs):
-        print(f"ep {tot+i}: dof0={dof0[i]:.3f} grasped={int(grasped[i])} "
-              f"dof_end={dof1[i]:.3f} thr={env.obj_success_dof[0]:.3f} "
-              f"success={int(s[i])}")
-    succ += s.sum()
-    tot += env.num_envs
-print(f"success {succ}/{tot} = {succ/tot*100:.1f}%")
+    succ = obs["success"].astype(int)
+    dN = env.obj_dof()[:, 0].copy()
+    print(f"--- round {rnd}: success {succ.sum()}/{len(succ)}")
+    for e in range(len(succ)):
+        steps = " ".join(f"{tag[0]}{v[e]:.2f}{'*' if g[e] else ' '}"
+                         for tag, v, g in trace)
+        print(f"  env{e} init {d0[e]:.2f} -> {dN[e]:.2f} "
+              f"succ={succ[e]} | {steps}")

@@ -15,11 +15,19 @@ LOG = get_logger()
 LOG.setLevel("WARNING")
 
 
-def n_policy_steps(early_stop):
-    cfg = load_config([
-        "controller=rl", f"controller.early_stop={early_stop}",
+def n_policy_steps(early_stop, via="cli"):
+    overrides = [
+        "controller=rl",
         "pose_estimator=ground_truth", "task.num_envs=2", "train.total_round=2",
-    ])
+    ]
+    if via == "cli":
+        overrides.append(f"controller.early_stop={early_stop}")
+    cfg = load_config(overrides)
+    if via == "yaml":
+        # the shipped rl.yaml nests the knob under the inner 'controller:'
+        # dict (reference cfg/controller/rl.yaml) — that path must work too
+        cfg["controller"]["controller"]["early_stop"] = early_stop
+        cfg["controller"].pop("early_stop", None)
     env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
     try:
         manip = prepare_manipulation(env, cfg["manipulation"], LOG)
@@ -38,3 +46,42 @@ def n_policy_steps(early_stop):
 def test_early_stop_bounds_view_count():
     assert n_policy_steps(1) == 1
     assert n_policy_steps(3) == 3
+
+
+def test_early_stop_yaml_path():
+    # regression: the yaml-nested knob was silently dead (only the CLI
+    # override form worked) — ADVICE r3
+    assert n_policy_steps(2, via="yaml") == 2
+
+
+def test_policy_view_sampler_zeroes_group_level_success_coef():
+    """PolicyViewSampler must zero success_coef in the dict ControlInterface
+    actually reads (group-level cfg['controller']['reward']) so sampling
+    never triggers manipulation mid-episode — ADVICE r3."""
+    import copy
+    from rgbmanip_tpu.models.pose_estimator import data as data_mod
+
+    cfg = load_config(["controller=rl", "pose_estimator=ground_truth",
+                       "task.num_envs=2"])
+    cfg["controller"]["reward"]["success_coef"] = 8.0
+
+    captured = {}
+
+    class _FakeIface:
+        def __init__(self, env, est, manip, iface_cfg):
+            captured["reward"] = iface_cfg["controller"]["reward"]
+            raise RuntimeError("stop-after-cfg")
+
+    import rgbmanip_tpu.models.controller.rl_pose as rl_pose_mod
+    real = rl_pose_mod.ControlInterface
+    rl_pose_mod.ControlInterface = _FakeIface
+    try:
+        try:
+            data_mod.PolicyViewSampler(env=None, cfg=cfg, policy_ckpt="")
+        except RuntimeError as e:
+            assert "stop-after-cfg" in str(e)
+    finally:
+        rl_pose_mod.ControlInterface = real
+    assert captured["reward"]["success_coef"] == 0.0
+    # and the caller's cfg is untouched (deepcopy)
+    assert cfg["controller"]["reward"]["success_coef"] == 8.0
