@@ -234,7 +234,7 @@ class PolicyViewSampler(SimViewSampler):
     """
 
     def __init__(self, env, cfg, policy_ckpt: str, mix: float = 0.5,
-                 noise: float = 0.15, **kw):
+                 noise: float = 0.15, pair_mode: str = "last", **kw):
         super().__init__(env, **kw)
         import copy
         from ..controller.rl_pose import ControlInterface
@@ -254,6 +254,7 @@ class PolicyViewSampler(SimViewSampler):
         self._ppo.load(policy_ckpt)
         self.mix = float(mix)
         self.noise = float(noise)
+        self.pair_mode = str(pair_mode)
 
     def _grab(self):
         return self.env.get_image()["camera0"]
@@ -272,7 +273,19 @@ class PolicyViewSampler(SimViewSampler):
             shots.append(self._grab())
             if np.asarray(done).all():
                 break
-        img1, img2 = shots[-2], shots[-1]
+        if self.pair_mode == "any" and len(shots) > 2:
+            # Sample among ALL consecutive view pairs the policy visits,
+            # weighted toward late pairs: deployment's final estimate uses
+            # the last pair, but the ViewNum ablation (early_stop=k)
+            # evaluates every prefix, and per-step estimates feed the
+            # reward at every step — training only on the final pair
+            # leaves the earlier pairs out-of-distribution.
+            n_pairs = len(shots) - 1
+            w = np.arange(1, n_pairs + 1, dtype=np.float64)
+            j = int(self.rng.choice(n_pairs, p=w / w.sum()))
+            img1, img2 = shots[j], shots[j + 1]
+        else:
+            img1, img2 = shots[-2], shots[-1]
         if img1["Mask"].sum() == 0 or img2["Mask"].sum() == 0:
             return None
         frames = self._part_frames()

@@ -28,7 +28,8 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
           dtype=jnp.float32, log_every: int = 10, save_every: int = 200,
           env=None, est_overrides: dict | None = None, reuse: int = 8,
           buffer_size: int = 32, resume: str = "", policy_ckpt: str = "",
-          policy_mix: float = 0.5, policy_noise: float = 0.15):
+          policy_mix: float = 0.5, policy_noise: float = 0.15,
+          policy_pair: str = "last"):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -61,9 +62,11 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
         # (requires controller=rl in the overrides for the scheduler cfg)
         from .data import PolicyViewSampler
         log.info(f"policy-view sampling from {policy_ckpt} "
-                 f"(mix={policy_mix}, noise={policy_noise})")
+                 f"(mix={policy_mix}, noise={policy_noise}, "
+                 f"pair={policy_pair})")
         sampler = PolicyViewSampler(env, cfg, policy_ckpt, mix=policy_mix,
-                                    noise=policy_noise, **sampler_kw)
+                                    noise=policy_noise, pair_mode=policy_pair,
+                                    **sampler_kw)
     else:
         sampler = SimViewSampler(env, **sampler_kw)
     writer = MetricsWriter("logs/estimator")
@@ -98,7 +101,7 @@ def main():
              "volume_scale", "warp_mode", "backend", "n_depth",
              "volume_channels", "backbone_stride", "d_interval", "d_min",
              "reuse", "buffer_size", "resume", "policy_ckpt", "policy_mix",
-             "policy_noise")
+             "policy_noise", "policy_pair")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -123,6 +126,7 @@ def main():
           policy_ckpt=kv.get("policy_ckpt", ""),
           policy_mix=float(kv.get("policy_mix", 0.5)),
           policy_noise=float(kv.get("policy_noise", 0.15)),
+          policy_pair=kv.get("policy_pair", "last"),
           log_every=int(kv.get("log_every", 10)))
 
 
