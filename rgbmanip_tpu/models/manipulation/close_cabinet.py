@@ -8,7 +8,8 @@ import numpy as np
 
 from .base_manipulation import BaseManipulation
 from .open_cabinet import batch_frame_quats
-from ...utils.transform import normalize
+from ...assets.panda import QLIM
+from ...utils.transform import lookat_quat, normalize
 
 
 class CloseCabinetManipulation(BaseManipulation):
@@ -73,15 +74,43 @@ class CloseCabinetManipulation(BaseManipulation):
         held = np.zeros(batch, bool)
         hold_p = start_p.copy()
         regrasps = np.zeros(batch, np.int32)
+        # Closed-stop disambiguation (dof feedback, cfg-gated): a stall at
+        # the closed STOP must freeze (pushing/releasing there rebounds the
+        # door open), while a mid-arc stall must keep escalating (probes,
+        # re-grasp). Proprioception alone cannot tell them apart — the r3
+        # trace shows 24/35 test failures are mid-arc stalls mis-frozen as
+        # stops. With feedback on, the skill reads the part dof (the same
+        # privileged state the gt_pose controller stack it runs under
+        # already uses for planning); the swept-angle proxy remains the
+        # fallback for dof_feedback=false.
+        use_dof = bool(self.cfg.get("dof_feedback", True))
+        stop_dof = float(np.asarray(self.env.obj_success_dof).reshape(-1)[0])
+        # Arm joint limits (public franka values, assets/panda.py QLIM):
+        # a grasp-held stall with an arm joint pinned at its limit is REACH
+        # saturation, not the door's stop — recoverable only by re-grasping
+        # from a different arm configuration.
+        qlo = np.array([l[0] for l in QLIM])
+        qhi = np.array([l[1] for l in QLIM])
         for k, step_size in enumerate(steps):
             cur_p = self.env.gripper_pose()[:, :3]
+            if use_dof:
+                dofv = self.env.obj_dof()[:, 0]
+                at_stop = dofv <= max(stop_dof, 0.08)
+                near_stop = dofv <= max(stop_dof, 0.08) + 0.1
+            else:
+                swept_now = np.arccos(
+                    np.clip((cur_dir * init_dir).sum(-1), -1, 1))
+                at_stop = swept_now >= 0.95
+                near_stop = at_stop
             # Rotate the stalled envs' push direction about z (escalation
             # schedule per consecutive stalled step, capped at +-50 deg:
             # wider angles point partly back along the opening arc and can
             # CATCH a fully-closed door and drag it open — measured as five
             # reopened successes before the cap). Four failed probes in a
-            # row means the door is at its stop (or unrecoverable): freeze.
-            frozen = frozen | (stall_phase > 4)
+            # row freezes only when the dof says the door IS at its stop
+            # (or, without feedback, the swept-angle proxy does); a mid-arc
+            # stall keeps escalating through probes and re-grasps instead.
+            frozen = frozen | ((stall_phase > 4) & at_stop)
             # Mid-push re-grasp (proprioception only — no ground truth): a
             # lost grasp mid-arc degrades the close to slow contact-pushing,
             # and a grasp-held stall that two rotation probes cannot break is
@@ -94,16 +123,19 @@ class CloseCabinetManipulation(BaseManipulation):
             # away don't grasp air, and at most 2 re-grasps per env.
             if k >= 1:
                 lost = ~self.env.grasped().astype(bool)
-                # Never release near the closed stop: the tracked push
-                # direction rotates with the door arc, so the angle it has
-                # swept from the initial face normal measures radians closed
-                # so far. Near full closure (>0.95 rad of the 1.2 rad arc)
-                # the door is pressed against its stop and releasing lets the
-                # compression fling it back open (measured: two formerly
-                # closed doors rebounded to dof 0.5).
-                swept = np.arccos(np.clip((cur_dir * init_dir).sum(-1), -1, 1))
-                need = ((lost | (stall_phase >= 3)) & ~frozen
-                        & (regrasps < 2) & (peak > 0.02) & (swept < 0.95))
+                # Never release near the closed stop: the door is pressed
+                # against its stop there and releasing lets the compression
+                # fling it back open (measured: two formerly closed doors
+                # rebounded to dof 0.5). With dof feedback `near_stop` reads
+                # the part joint directly; otherwise the swept angle of the
+                # tracked push direction (radians closed so far, >0.95 of
+                # the 1.2 rad arc) stands in.
+                qpos = self.env.robot_qpos()[:, :7]
+                sat = np.minimum(qpos - qlo, qhi - qpos).min(axis=1) < 0.08
+                need = ((lost | (stall_phase >= 3)
+                         | (sat & (stall_phase >= 2)))
+                        & ~frozen & (regrasps < 2) & (peak > 0.02)
+                        & ~near_stop)
                 if need.any():
                     contact_p = cur_p.copy()
                     rg_z = cur_dir
@@ -118,6 +150,27 @@ class CloseCabinetManipulation(BaseManipulation):
                                              planner="path",
                                              no_collision_with_front=True,
                                              indices=need)
+                    unwind = need & sat
+                    if unwind.any():
+                        # Reach saturation: a 12 cm retreat does not unwind
+                        # the arm — the next approach seeds IK from the same
+                        # pinned configuration and saturates again. Route
+                        # saturated envs through a neutral home waypoint so
+                        # the re-planned approach starts (and IK-seeds) from
+                        # an unwound arm configuration.
+                        home = np.tile(np.concatenate(
+                            [[0.35, 0.0, 0.55],
+                             lookat_quat(np.array([1.0, 0.0, -0.4]))]),
+                            (batch, 1))
+                        self.env.hand_move_to(home, time=2, wait=1,
+                                              planner="path",
+                                              robot_frame=True,
+                                              no_collision_with_front=False,
+                                              indices=unwind)
+                        self.env.gripper_move_to(back, time=2, wait=1,
+                                                 planner="path",
+                                                 no_collision_with_front=True,
+                                                 indices=unwind)
                     fwd = np.concatenate([contact_p, rg_q], axis=-1)
                     self.env.gripper_move_to(fwd, time=2, wait=1,
                                              planner="ik", indices=need)
@@ -180,8 +233,10 @@ class CloseCabinetManipulation(BaseManipulation):
             cur_dir = np.where((moved & ~regressed)[:, None], upd, cur_dir)
             # A regression caused by a stall probe means the probe caught a
             # door already at its stop and dragged it open: stop pushing
-            # this env for good.
-            frozen = frozen | (regressed & (stall_phase > 0))
+            # this env for good. With dof feedback, only freeze when the
+            # dof confirms the stop — a mid-arc probe that slipped backward
+            # should keep escalating (it has re-grasps left).
+            frozen = frozen | (regressed & (stall_phase > 0) & at_stop)
             stall_phase = np.where(moved | frozen, 0, stall_phase + 1)
             # Reopening guard: the reflection update tracks the achieved arc
             # in WHICHEVER swing sense the episode stumbled into — once a
@@ -200,7 +255,14 @@ class CloseCabinetManipulation(BaseManipulation):
                 cur_dir = np.where((reopened & (stall_phase == 0))[:, None],
                                    -cur_dir, cur_dir)
             else:
-                frozen = frozen | reopened
+                # Extra phase: a regression at the stop means "closed stop
+                # reached" — freeze. A regression mid-arc (dof says the door
+                # is NOT closed) is a slipping grasp, not the stop: flip the
+                # push back along the arc like the base phase does.
+                frozen = frozen | (reopened & at_stop)
+                cur_dir = np.where(
+                    (reopened & ~at_stop & (stall_phase == 0))[:, None],
+                    -cur_dir, cur_dir)
 
 
 class CloseDrawerManipulation(CloseCabinetManipulation):

@@ -1144,6 +1144,13 @@ struct PlanContext {
   // matrix seeding), so grazing contact at the current pose doesn't doom
   // every plan to the bulldozing straight-line fallback.
   std::vector<std::pair<int, int>> allowed;
+  // Goal-scoped allowed pairs (tier-0 grasp-approach rescue): extra pairs
+  // valid ONLY within goal_r (L-inf, rad) of goal_q — the straddle goal's
+  // intentional gripper/part graze must not license the wrist to pass
+  // through that same obstacle anywhere along the transit [ADVICE r3].
+  std::vector<std::pair<int, int>> goal_allowed;
+  double goal_q[7] = {0};
+  double goal_r = 0.0;  // 0 = no goal-scoped pairs active
 };
 
 static void robot_collision_spheres(EnvSim& e, std::vector<CollSphere>* out) {
@@ -1185,6 +1192,14 @@ static bool config_in_collision(PlanContext& ctx, const double* q7,
   std::vector<double> save = r.q;
   for (int i = 0; i < ctx.env->n_arm; i++) r.q[i] = q7[i];
   r.fk();
+  // goal-scoped pairs apply only when q7 is within goal_r of the goal
+  bool near_goal = false;
+  if (ctx.goal_r > 0.0 && !ctx.goal_allowed.empty()) {
+    double d = 0.0;
+    for (int i = 0; i < ctx.env->n_arm; i++)
+      d = std::max(d, std::fabs(q7[i] - ctx.goal_q[i]));
+    near_goal = d < ctx.goal_r;
+  }
   bool hit = false;
   for (const CollSphere& s : ctx.rob_spheres) {
     Vec3 c = r.link_pose[s.link].apply(s.local);
@@ -1198,6 +1213,9 @@ static bool config_in_collision(PlanContext& ctx, const double* q7,
       bool skip = false;
       for (const auto& a : ctx.allowed)
         if (a.first == s.link && a.second == (int)bi) { skip = true; break; }
+      if (!skip && near_goal)
+        for (const auto& a : ctx.goal_allowed)
+          if (a.first == s.link && a.second == (int)bi) { skip = true; break; }
       if (skip) continue;
       if (sphere_obb_hit(c, s.r, ctx.obstacles[bi])) {
         hit = true;
@@ -2059,13 +2077,24 @@ void sc_exec_path_move(void* p, const uint8_t* mask, const double* targets7,
       // plans these fine in the reference). Arm-link or ground collisions
       // at the goal still fail it to the retreat tiers below, and transit
       // stays fully checked for all non-allowed pairs.
+      // The extra pairs are GOAL-SCOPED (PlanContext.goal_allowed): valid
+      // only within 0.6 rad (L-inf) of the goal config, so the straddle
+      // grasp is reachable but the transit far from the goal still checks
+      // the wrist/fingers against that obstacle [ADVICE r3].
       std::vector<std::pair<int, int>> saved_allowed = ctx.allowed;
       seed_allowed_collisions(ctx, goal, e.ee_link - 2, /*clear=*/false);
+      for (size_t ai = saved_allowed.size(); ai < ctx.allowed.size(); ai++)
+        ctx.goal_allowed.push_back(ctx.allowed[ai]);
+      ctx.allowed = saved_allowed;
+      for (int d = 0; d < 7; d++) ctx.goal_q[d] = goal[d];
+      ctx.goal_r = 1.0;
       goal_ok = !config_in_collision(ctx, goal);
-      if (!goal_ok) ctx.allowed = saved_allowed;  // arm/ground hit: undo
-      else if (plan_debug)
+      if (!goal_ok) {  // arm/ground hit: undo
+        ctx.goal_allowed.clear();
+        ctx.goal_r = 0.0;
+      } else if (plan_debug)
         fprintf(stderr, "[plan %d] tier0: goal rescued with %d gripper pairs\n",
-                i, (int)(ctx.allowed.size() - saved_allowed.size()));
+                i, (int)ctx.goal_allowed.size());
     }
     // Every IK solution collides. Two rescue tiers before the straight-line
     // fallback (which bulldozes whatever stands between — with an open door

@@ -16,6 +16,8 @@ from perfutil import scan_bench
 def main():
     key = jax.random.PRNGKey(0)
     B, S, C, D = 16, 112, 32, 24
+    if len(sys.argv) > 4:
+        B, S, C, D = (int(a) for a in sys.argv[1:5])
     HW = S * S
     table = jax.random.normal(key, (B, HW, C), jnp.bfloat16)
 

@@ -8,9 +8,18 @@
 # between sessions).
 #
 # Usage: scripts/tunnel_watch_coadapt.sh [TOTAL_ITERS] [CHUNK]
+# CAT (env, default cabinet) selects the task family (cabinet|drawer):
+# the flagship co-adaptation generalizes per-category by swapping the
+# dataset/task/manipulation/estimator config group names.
 set -u
 TOTAL=${1:-165}
 CHUNK=${2:-20}
+CAT=${CAT:-cabinet}
+case "$CAT" in
+  cabinet) TASK=open_cabinet ;;
+  drawer)  TASK=open_drawer ;;
+  *) echo "unknown CAT $CAT" >&2; exit 2 ;;
+esac
 # Overridable for later bursts (e.g. burst 2: EST=dagger2 ckpt, SEED from
 # model_165, TAG=coadapt2).
 TAG=${TAG:-coadapt}
