@@ -25,7 +25,11 @@ echo "[chain] $(date -u) coadapt3 launched pid $(cat /tmp/coadapt3.pid)" >> /tmp
 
 # mug estimator from scratch with 2x finer depth bins over the measured
 # camera-handle band (0.35..1.63 m) + longer budget
-SUFFIX=_fine_r4 nohup bash scripts/tunnel_watch_estimator.sh mug 3000 250 \
+# CHUNK=150: under coadapt3 contention the trainer can drop to ~0.1 it/s,
+# and a 250-step chunk would exceed the watcher's TMOUT (250*5+1500 s) and
+# be miscounted as a deterministic failure 3x -> bail. 150-step chunks stay
+# inside TMOUT even at 0.1 it/s.
+SUFFIX=_fine_r4 nohup bash scripts/tunnel_watch_estimator.sh mug 3000 150 \
   d_min=0.35 d_interval=0.08 > /tmp/watch_mug_fine.out 2>&1 &
 echo $! > /tmp/mug_fine.pid
 echo "[chain] $(date -u) mug_fine launched pid $(cat /tmp/mug_fine.pid)" >> /tmp/r4_chain.log
