@@ -155,6 +155,18 @@ class ControlInterface:
                     rgb[s, j] = self.image_queue[i, j]
                     msk[s, j] = self.mask_queue[i, j]
                     used[j] += 1
+        # A single valid view is DUPLICATED into both stereo slots — the
+        # reference's first/second_view_idx both clip to the same index at
+        # available_num==1 (rl_pose.py:59-60), so its estimator sees a
+        # zero-baseline pair and regresses quasi-monocularly (its k=1
+        # ViewNum row is 71.1%, not a sentinel failure). Pairing the lone
+        # view with a zeros image instead poisons the estimate.
+        for j in range(N):
+            if used[j] == 1:
+                intr[1, j] = intr[0, j]
+                extr[1, j] = extr[0, j]
+                rgb[1, j] = rgb[0, j]
+                msk[1, j] = msk[0, j]
         return np.asarray(self.estimator.estimate(
             intr[0], rgb[0], msk[0], extr[0], rgb[1], msk[1], extr[1]))
 

@@ -273,7 +273,16 @@ class PolicyViewSampler(SimViewSampler):
             shots.append(self._grab())
             if np.asarray(done).all():
                 break
-        if self.pair_mode == "any" and len(shots) > 2:
+        if self.pair_mode == "any" and self.rng.random() < 0.1:
+            # zero-baseline duplicate pair (10%): deployment estimates from a
+            # DUPLICATED view when only one policy view frames the part (the
+            # reference's first/second_view_idx clip to the same index at
+            # available_num==1 and its k=1 ViewNum row is 71.1%) — train the
+            # quasi-monocular regression path the same way.
+            j = len(shots) - 1 if len(shots) < 2 else \
+                int(self.rng.integers(1, len(shots)))
+            img1 = img2 = shots[j]
+        elif self.pair_mode == "any" and len(shots) > 2:
             # Sample among ALL consecutive view pairs the policy visits,
             # weighted toward late pairs: deployment's final estimate uses
             # the last pair, but the ViewNum ablation (early_stop=k)
