@@ -51,8 +51,8 @@ done
 SIDECAR=$!
 trap 'kill $SIDECAR 2>/dev/null' EXIT
 bash scripts/train_rl_chunked.sh "$SAVE_DIR" "$TOTAL" "$CHUNK" \
-  dataset=cabinet_train task=open_cabinet manipulation=open_cabinet \
-  controller=rl pose_estimator=adapose_cabinet_fast \
+  dataset=${CAT}_train task=$TASK manipulation=$TASK \
+  controller=rl pose_estimator=adapose_${CAT}_fast \
   pose_estimator.checkpoint_path=$EST \
   task.num_envs=16 seed=3 exp_name=rl_${TAG} >> "$LOG" 2>&1
 snapshot
