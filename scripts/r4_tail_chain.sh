@@ -11,8 +11,8 @@ set -u
 cd "$(dirname "$0")/.."
 MUG_EST=checkpoints/estimator_fast_mug_fine_r4.ckpt
 MUG_KNOBS="pose_estimator.d_min=0.35 pose_estimator.d_interval=0.08"
-POLICY=checkpoints/ppo_rl_coadapt3_model_225.ckpt
-CAB_EST=checkpoints/estimator_fast_cabinet_dagger3_r4.ckpt
+POLICY=checkpoints/ppo_rl_coadapt_model_165.ckpt
+CAB_EST=checkpoints/estimator_fast_cabinet_dagger_r3.ckpt
 
 SWEEP_PID=$(cat /tmp/flagship_sweep.pid 2>/dev/null || echo "")
 if [ -n "$SWEEP_PID" ]; then
