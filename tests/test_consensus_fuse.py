@@ -1,0 +1,72 @@
+"""Consensus temporal fusion of per-step bbox estimates (ours — deviation
+from the reference, which acts on the LAST estimate only, rl_pose.py:491).
+The scene is static during camera scheduling, so per-step estimates target
+the same bbox; fusion must reject a late outlier estimate, ignore sentinel
+(+10) steps, and fall back to the last estimate when too few steps exist."""
+
+import numpy as np
+
+from rgbmanip_tpu.models.controller.rl_pose import consensus_fuse
+
+UNIT = np.array([
+    [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+    [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1],
+], dtype=np.float32) * 0.1
+
+
+def make_queue(per_step_offsets, M=5):
+    """per_step_offsets: list over envs of dict {step: center_offset}."""
+    N = len(per_step_offsets)
+    q = np.zeros((M, N, 8, 3), np.float32)
+    for j, steps in enumerate(per_step_offsets):
+        for t, off in steps.items():
+            q[t, j] = UNIT + np.asarray(off, np.float32)
+    return q
+
+
+def centers(bbox):
+    return (bbox[..., 0, :] + bbox[..., 7, :]) / 2
+
+
+def test_outlier_final_step_rejected():
+    # steps 1-3 agree near origin-offset 1.0; step 4 jumps 0.3 m away
+    q = make_queue([{1: [1.0, 0, 0], 2: [1.01, 0, 0], 3: [0.99, 0, 0],
+                     4: [1.3, 0, 0]}])
+    fused = consensus_fuse(q, 4)
+    c = centers(fused)[0]
+    assert abs(c[0] - (1.0 + 0.05)) < 0.02  # consensus of steps 1-3 (+bbox mid)
+    # reference behavior would have acted on the outlier:
+    assert abs(centers(q[4])[0, 0] - c[0]) > 0.2
+
+
+def test_sentinel_steps_ignored():
+    # step 1 is the +10 sentinel (invalid transit view); 2-4 agree
+    q = make_queue([{2: [1.0, 0, 0], 3: [1.02, 0, 0], 4: [0.98, 0, 0]}])
+    q[1, 0] = 10.0  # sentinel magnitude
+    fused = consensus_fuse(q, 4)
+    assert abs(centers(fused)[0, 0] - 1.05) < 0.03
+
+
+def test_too_few_steps_falls_back_to_last():
+    q = make_queue([{1: [1.0, 0, 0], 2: [1.3, 0, 0]}])
+    fused = consensus_fuse(q, 2)
+    np.testing.assert_allclose(fused[0], q[2, 0])  # reference behavior
+
+
+def test_per_env_independent():
+    q = make_queue([
+        {1: [1.0, 0, 0], 2: [1.0, 0, 0], 3: [1.0, 0, 0], 4: [1.4, 0, 0]},
+        {1: [2.0, 0, 0], 2: [2.4, 0, 0], 3: [2.0, 0, 0], 4: [2.0, 0, 0]},
+    ])
+    fused = consensus_fuse(q, 4)
+    assert abs(centers(fused)[0, 0] - 1.05) < 0.03
+    assert abs(centers(fused)[1, 0] - 2.05) < 0.03
+
+
+def test_cluster_mean_reduces_noise():
+    rng = np.random.default_rng(0)
+    offs = {t: [1.0 + rng.normal(0, 0.01), 0, 0] for t in range(1, 5)}
+    q = make_queue([offs])
+    fused = consensus_fuse(q, 4)
+    per_step_err = [abs(centers(q[t])[0, 0] - 1.05) for t in range(1, 5)]
+    assert abs(centers(fused)[0, 0] - 1.05) <= max(per_step_err) + 1e-6
