@@ -91,7 +91,6 @@ def main():
            "warp_mode": "nearest"}
 
     H, W = 480, 640
-    rng = np.random.default_rng(0)
     platform = jax.devices()[0].platform
 
     best_fps, best_B = 0.0, 0

@@ -48,13 +48,24 @@ def _enable_persistent_compile_cache():
     if not cache or cache == "0":
         return
     try:
-        import jax
+        import sys
         os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
+        if "jax" in sys.modules:
+            # jax is already live (the image's sitecustomize imports it to
+            # register the axon plugin) — env vars would be ignored now
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        else:
+            # defer: jax reads these at first import, no import cost here
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+            os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+            os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    except Exception as e:  # a broken cache path must be VISIBLE [ADVICE r4]
+        import sys
+        print(f"rgbmanip_tpu: persistent jax compile cache disabled ({e!r})",
+              file=sys.stderr)
 
 
 _honor_jax_platforms_env()

@@ -23,7 +23,7 @@ from ...utils.tools import Box
 from ...utils.transform import lookat_quat, quat_to_axis
 
 
-def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06):
+def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06, stereo_ok=None):
     """Robust temporal fusion of the per-step bbox estimates.
 
     Deviation from the reference (rl_pose.py:491-516), which acts on the
@@ -37,6 +37,20 @@ def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06):
     estimate (reference behavior) when fewer than 3 steps are usable. Uses
     no ground truth and no per-k tuning.
 
+    ``stereo_ok`` (M, N bool, optional) marks which per-step estimates came
+    from a genuine two-view pair. Estimates made while only ONE valid view
+    existed (the lone view is duplicated into both stereo slots,
+    ``get_estimation``) are quasi-monocular and systematically worse; at
+    k=3 a quasi-mono step-1 estimate pairing with step-2 can outvote the
+    better step-3 stereo estimate (measured 87.50 -> 76.92, docs/RESULTS.md
+    r4). With ``stereo_ok`` given, only stereo estimates are CANDIDATES for
+    the vote; if fewer than 3 remain the fallback is the last estimate.
+
+    Cluster membership additionally requires open-direction agreement with
+    the medoid (corners 0/1 define the direction the manipulation acts
+    along downstream): two estimates whose centers agree but whose corner
+    orderings disagree must not average into a degenerate direction.
+
     pred_bbox: (M, N, 8, 3) per-step estimate queue (steps 1..cur_step
     written by ``ControlInterface.add_bbox``). Returns (N, 8, 3).
     """
@@ -44,12 +58,17 @@ def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06):
     N = pred_bbox.shape[1]
     out = pred_bbox[cur_step].copy()
     for j in range(N):
-        steps, centers = [], []
+        steps, centers, dirs = [], [], []
         for t in range(1, cur_step + 1):
             c = (pred_bbox[t, j, 0] + pred_bbox[t, j, 7]) / 2
-            if np.linalg.norm(c) < 5.0:  # sentinel bbox sits at ~+10
-                steps.append(t)
-                centers.append(c)
+            if np.linalg.norm(c) >= 5.0:  # sentinel bbox sits at ~+10
+                continue
+            if stereo_ok is not None and not stereo_ok[t, j]:
+                continue
+            d = pred_bbox[t, j, 1] - pred_bbox[t, j, 0]
+            steps.append(t)
+            centers.append(c)
+            dirs.append(d / (np.linalg.norm(d) + 1e-9))
         n = len(steps)
         if n < 3:
             continue
@@ -58,7 +77,8 @@ def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06):
         off = ~np.eye(n, dtype=bool)
         med = np.array([np.median(D[i][off[i]]) for i in range(n)])
         best = int(np.argmin(med - 1e-9 * np.arange(n)))  # tie -> later step
-        keep = np.nonzero(D[best] <= cluster_tol)[0]
+        agree = np.stack(dirs) @ dirs[best] > 0.0
+        keep = np.nonzero((D[best] <= cluster_tol) & agree)[0]
         out[j] = pred_bbox[[steps[i] for i in keep], j].mean(axis=0)
     return out
 
@@ -85,6 +105,14 @@ class ControlInterface:
         self.action_space = Box(-1.5, 1.5, shape=(7 + self.max_steps,))
         self.state_space = Box(-1.5, 1.5, shape=(self.max_steps * 15,))
         self.observation_space = Box(-1.5, 1.5, shape=(self.max_steps * 12,))
+
+        # Fusion mode for the final estimate (and the training success
+        # probe, so PPO's success reward optimizes the SAME decision rule
+        # applied at eval): CLI override lands at the group top level,
+        # yaml nests it under the inner 'controller:' dict — CLI wins.
+        self.estimate_fusion = str(
+            cfg["controller"].get("estimate_fusion",
+                                  ctrl.get("estimate_fusion", "consensus")))
 
         self.last_pose_target = None
         self.proper_pos = np.asarray([[0.0, 0.0, 0.9]])
@@ -358,7 +386,15 @@ class ControlInterface:
         success = np.zeros(self.num_envs)
         if (self.accumulate_steps == self.max_steps - 1
                 and self.reward_cfg["success_coef"] > 1e-9 and not eval):
-            self.call_manipulation(pred_bbox, eval=True)
+            # Act on the same fused estimate eval acts on (stereo-only
+            # candidates), so the success reward scores the deployed
+            # decision rule rather than the raw last estimate.
+            probe_est = pred_bbox
+            if self.estimate_fusion == "consensus":
+                probe_est = consensus_fuse(
+                    self.pred_bbox, self.accumulate_steps,
+                    stereo_ok=np.cumsum(self.available, axis=0) >= 2)
+            self.call_manipulation(probe_est, eval=True)
             success = np.asarray(self.env.get_observation(gt=True)["success"]).reshape(-1)
 
         reward, info = self.get_reward(action, move_res, weight, success)
@@ -451,7 +487,9 @@ class RLPoseController(BaseController):
         fusion = str(self.cfg.get("estimate_fusion",
                                   ctrl.get("estimate_fusion", "consensus")))
         if fusion == "consensus":
-            estimation = consensus_fuse(iface.pred_bbox, cur_step)
+            estimation = consensus_fuse(
+                iface.pred_bbox, cur_step,
+                stereo_ok=np.cumsum(iface.available, axis=0) >= 2)
         else:  # "last" = reference behavior (rl_pose.py:491-516)
             estimation = iface.pred_bbox[cur_step]
         iface.call_manipulation(estimation, eval)

@@ -82,6 +82,13 @@ def prepare_pose_estimator(env, pe_cfg, log):
 
 def prepare_controller(env, pose_estimator, manipulation, ctrl_cfg, cfg, log, writer=None):
     """(reference train.py:180-214)"""
+    # Privileged-state gate: skills may only read gt env state (obj_dof
+    # feedback in close_*) when the estimator itself is the gt oracle —
+    # a learned-perception stack must stay proprioceptive end-to-end.
+    from .models.pose_estimator.groundtruth_estimator import GroundTruthPoseEstimator
+    if manipulation is not None:
+        manipulation.privileged_ok = isinstance(pose_estimator,
+                                                GroundTruthPoseEstimator)
     name = ctrl_cfg["name"]
     if name == "heuristic_pose":
         from .models.controller.heuristic_pose import HeuristicPoseController

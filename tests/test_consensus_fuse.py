@@ -63,6 +63,48 @@ def test_per_env_independent():
     assert abs(centers(fused)[1, 0] - 2.05) < 0.03
 
 
+def test_stereo_filter_prevents_three_way_hijack():
+    """The measured k=3 regression (docs/RESULTS.md r4): a quasi-monocular
+    step-1 estimate pairing with step-2 outvotes the better step-3 stereo
+    estimate in a 3-way vote. With stereo_ok excluding step 1 from
+    candidacy only 2 candidates remain -> fall back to the LAST estimate
+    (the correct stereo one)."""
+    q = make_queue([{1: [1.3, 0, 0], 2: [1.31, 0, 0], 3: [1.0, 0, 0]}])
+    # without the filter the correlated early pair wins the vote
+    hijacked = consensus_fuse(q, 3)
+    assert abs(centers(hijacked)[0, 0] - (1.305 + 0.05)) < 0.02
+    # step-1 estimate was made with a single valid view duplicated
+    stereo_ok = np.ones((5, 1), bool)
+    stereo_ok[0] = stereo_ok[1] = False
+    fused = consensus_fuse(q, 3, stereo_ok=stereo_ok)
+    np.testing.assert_allclose(fused[0], q[3, 0])
+
+
+def test_stereo_filter_keeps_k4_vote():
+    """At k=4 with one quasi-mono step the remaining 3 stereo estimates
+    still vote; a late outlier is still rejected."""
+    q = make_queue([{1: [1.3, 0, 0], 2: [1.0, 0, 0], 3: [1.01, 0, 0],
+                     4: [1.4, 0, 0]}])
+    stereo_ok = np.ones((5, 1), bool)
+    stereo_ok[0] = stereo_ok[1] = False
+    fused = consensus_fuse(q, 4, stereo_ok=stereo_ok)
+    assert abs(centers(fused)[0, 0] - (1.005 + 0.05)) < 0.02
+
+
+def test_direction_disagreement_excluded_from_cluster():
+    """Two estimates with agreeing centers but opposite corner ordering
+    (corners 0/1 define the downstream manipulation direction) must not
+    average into a degenerate open direction."""
+    q = make_queue([{1: [1.0, 0, 0], 2: [1.01, 0, 0], 3: [0.99, 0, 0]}])
+    # step 3: same center, corners reversed -> open dir flipped
+    q[3, 0] = q[3, 0][::-1].copy()
+    fused = consensus_fuse(q, 3)
+    d = fused[0, 1] - fused[0, 0]
+    # without the direction guard the flipped member would cancel the
+    # direction toward zero; with it, direction magnitude is preserved
+    assert np.linalg.norm(d) > 0.05
+
+
 def test_cluster_mean_reduces_noise():
     rng = np.random.default_rng(0)
     offs = {t: [1.0 + rng.normal(0, 0.01), 0, 0] for t in range(1, 5)}
