@@ -34,10 +34,21 @@ class SimViewSampler:
     def __init__(self, env, img_size: int = 224, n_pts: int = 1024, seed: int = 0,
                  pose_min=(-0.3, -0.3, 0.4), pose_max=(0.3, 0.3, 1.0),
                  reuse: int = 8, buffer_size: int = 32,
-                 d_min: float = 0.1, d_interval: float = 0.1, n_depth: int = 24):
+                 d_min: float = 0.1, d_interval: float = 0.1, n_depth: int = 24,
+                 view_aug: str = "box"):
         self.env = env
         self.img_size = img_size
         self.n_pts = n_pts
+        # "box" = the collection distribution (independent positions in the
+        # policy box, exact handle lookat). "wide" = strong view
+        # augmentation toward the deployed RL scheduler's distribution
+        # (r4 diagnosis, docs/RESULTS.md: the estimator collapses on the
+        # policy's late close-in pairs — 8.6 cm step-4 pair error vs 3.1 at
+        # step 2): correlated consecutive-view pairs with log-uniform
+        # baselines, off-center handle framing (lookat jitter), close-in
+        # position bias, and 10% duplicated quasi-monocular pairs.
+        self.view_aug = str(view_aug)
+        self._pair_anchor = None
         # depth-hypothesis grid MUST match the estimator the batches train
         # (the depth head classifies over exactly these bins)
         self.d_min, self.d_interval, self.n_depth = d_min, d_interval, n_depth
@@ -65,7 +76,30 @@ class SimViewSampler:
         target = (gt[:, 0] + gt[:, 6]) / 2
         robot_root = self.env.robot_pose()[:, :3]
         pos = self.rng.uniform(self.pose_min, self.pose_max, size=(n, 3))
-        look = (target - robot_root) - pos
+        look_target = target - robot_root
+        if self.view_aug == "wide":
+            close = self.rng.random(n) < 0.35
+            # close-in bias: the policy's late views sit at the near-object
+            # edge of its box; pull x toward pose_max[0]
+            pos[close, 0] = self.rng.uniform(
+                (self.pose_min[0] + self.pose_max[0]) / 2, self.pose_max[0],
+                size=int(close.sum()))
+            if self._pair_anchor is not None:
+                corr = self.rng.random(n) < 0.5
+                # correlated consecutive-view pair: |delta| log-uniform
+                # 3 cm .. 50 cm around the previous view's position
+                mag = np.exp(self.rng.uniform(np.log(0.03), np.log(0.5),
+                                              size=(n, 1)))
+                d = self.rng.normal(size=(n, 3))
+                d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+                cand = np.clip(self._pair_anchor + d * mag,
+                               self.pose_min, self.pose_max)
+                pos[corr] = cand[corr]
+            # off-center handle framing: the policy's lookat is an action,
+            # not a handle fixation
+            look_target = look_target + self.rng.normal(0.0, 0.08, (n, 3))
+            self._pair_anchor = pos.copy()
+        look = look_target - pos
         q = lookat_quat(look)
         self.env.cam_move_to(np.concatenate([pos, q], -1), time=2, wait=0.5,
                              planner="path", robot_frame=True, skip_move=True,
@@ -124,8 +158,14 @@ class SimViewSampler:
     def _render_entry(self) -> Optional[tuple]:
         """Render one fresh view pair (resets envs) -> buffered entry."""
         self.env.reset()
+        self._pair_anchor = None  # view 1 always samples fresh
         img1 = self._random_views()
-        img2 = self._random_views()
+        if self.view_aug == "wide" and self.rng.random() < 0.1:
+            # duplicated quasi-monocular pair: deployment estimates from a
+            # lone valid view duplicated into both stereo slots
+            img2 = img1
+        else:
+            img2 = self._random_views()
         if img1["Mask"].sum() == 0 or img2["Mask"].sum() == 0:
             return None
         frames = self._part_frames()

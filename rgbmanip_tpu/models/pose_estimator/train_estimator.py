@@ -29,7 +29,7 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
           env=None, est_overrides: dict | None = None, reuse: int = 8,
           buffer_size: int = 32, resume: str = "", policy_ckpt: str = "",
           policy_mix: float = 0.5, policy_noise: float = 0.15,
-          policy_pair: str = "last"):
+          policy_pair: str = "last", view_aug: str = "box"):
     log = get_logger()
     from ...train import prepare_env
     from .adapose import AdaPoseEstimator
@@ -56,7 +56,7 @@ def train(overrides=None, steps: int = 2000, img_size: int = 224,
                       seed=cfg.get("seed", 0), reuse=reuse,
                       buffer_size=buffer_size,
                       d_min=est.d_min, d_interval=est.d_interval,
-                      n_depth=est.n_depth)
+                      n_depth=est.n_depth, view_aug=view_aug)
     if policy_ckpt:
         # DAgger pass: sample views from the trained RL camera scheduler
         # (requires controller=rl in the overrides for the scheduler cfg)
@@ -101,7 +101,7 @@ def main():
              "volume_scale", "warp_mode", "backend", "n_depth",
              "volume_channels", "backbone_stride", "d_interval", "d_min",
              "reuse", "buffer_size", "resume", "policy_ckpt", "policy_mix",
-             "policy_noise", "policy_pair")
+             "policy_noise", "policy_pair", "view_aug")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -127,6 +127,7 @@ def main():
           policy_mix=float(kv.get("policy_mix", 0.5)),
           policy_noise=float(kv.get("policy_noise", 0.15)),
           policy_pair=kv.get("policy_pair", "last"),
+          view_aug=kv.get("view_aug", "box"),
           log_every=int(kv.get("log_every", 10)))
 
 

@@ -71,6 +71,35 @@ def test_estimator_data_pipeline():
         env.close()
 
 
+def test_wide_view_aug_sampler():
+    """view_aug=wide (r5: policy-distribution view augmentation) must keep
+    producing geometrically valid labelled batches — correlated pairs,
+    lookat jitter and duplicated quasi-mono pairs change only WHERE the
+    views come from, never the label math."""
+    from rgbmanip_tpu.models.pose_estimator.data import SimViewSampler
+
+    cfg = load_config(["task=open_cabinet_no_dr", "task.num_envs=2"])
+    env = prepare_env(cfg["task"], cfg["dataset"], log=LOG, seed=0)
+    try:
+        sampler = SimViewSampler(env, img_size=64, n_pts=128, seed=0,
+                                 reuse=1, view_aug="wide")
+        got, dup = 0, 0
+        for _ in range(12):
+            batch = sampler.sample_batch()
+            if batch is None:
+                continue
+            got += 1
+            nocs = np.asarray(batch["nocs1"])
+            assert np.abs(nocs).max() <= 1.0 + 1e-5
+            R = np.asarray(batch["r1"][0])
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            if np.allclose(batch["P1"], batch["P2"]):
+                dup += 1  # duplicated quasi-mono pair occurs (10%)
+        assert got >= 6  # off-center framing may drop some pairs, not most
+    finally:
+        env.close()
+
+
 def test_estimator_train_step_decreases_loss():
     import jax
     import jax.numpy as jnp
