@@ -101,7 +101,7 @@ def main():
              "volume_scale", "warp_mode", "backend", "n_depth",
              "volume_channels", "backbone_stride", "d_interval", "d_min",
              "reuse", "buffer_size", "resume", "policy_ckpt", "policy_mix",
-             "policy_noise", "policy_pair", "view_aug")
+             "policy_noise", "policy_pair", "view_aug", "save_every")
     overrides = [a for a in argv if "=" in a and a.split("=")[0] not in local]
     est_overrides = {}
     for k in ("volume_scale", "n_depth", "volume_channels", "backbone_stride"):
@@ -128,6 +128,7 @@ def main():
           policy_noise=float(kv.get("policy_noise", 0.15)),
           policy_pair=kv.get("policy_pair", "last"),
           view_aug=kv.get("view_aug", "box"),
+          save_every=int(kv.get("save_every", 200)),
           log_every=int(kv.get("log_every", 10)))
 
 

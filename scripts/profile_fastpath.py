@@ -43,14 +43,6 @@ ext = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)); ext[:, 2, 3] = 1.0
 ext2 = ext.copy(); ext2[:, 0, 3] = 0.1
 e1d, e2d = jnp.asarray(ext), jnp.asarray(ext2)
 
-def full(r1, r2, m, k_, a, b):
-    bbox, _, _ = est._estimate(est.params, est.batch_stats, k_, r1, m, a,
-                               r2, m, b, key)
-    return bbox
-
-ms = scan_bench(full, rgb1, rgb2, maskd, K, e1d, e2d, iters=8, reps=3)
-print(f"full estimate B={B}: {ms:8.2f} ms -> {2*B/ms*1e3:6.0f} fps", flush=True)
-
 def prep2(r1, r2, m, k_):
     a = prepare_model_input(r1, m, k_, key, S, 1024)
     b = prepare_model_input(r2, m, k_, key, S, 1024)
@@ -96,3 +88,13 @@ rv = reg.init(key, vol, 16)
 ms = scan_bench(lambda v: reg.apply(rv, v, 16).sum()
                 + reg.apply(rv, v + 1, 16).sum(), vol, iters=8, reps=3)
 print(f"CostReg x2         : {ms:8.2f} ms", flush=True)
+
+import os
+if os.environ.get("PROFILE_FULL") == "1":
+    def full(r1, r2, m, k_, a, b):
+        bbox, _, _ = est._estimate(est.params, est.batch_stats, k_, r1, m, a,
+                                   r2, m, b, key)
+        return bbox
+
+    ms = scan_bench(full, rgb1, rgb2, maskd, K, e1d, e2d, iters=8, reps=3)
+    print(f"full estimate B={B}: {ms:8.2f} ms -> {2*B/ms*1e3:6.0f} fps", flush=True)

@@ -62,15 +62,23 @@ FAILS=0   # consecutive failures WITH the tunnel up ⇒ deterministic error, bai
 TMOUT=$((CHUNK * 5 + 1500))
 while [ "$DONE" -lt "$TOTAL" ]; do
   echo "=== chunk: +$CHUNK steps (done $DONE/$TOTAL) ===" >> "$LOG"
+  MTIME_BEFORE=$(stat -c %Y "$CKPT" 2>/dev/null || echo 0)
   timeout $TMOUT python -m rgbmanip_tpu.models.pose_estimator.train_estimator \
-    steps=$CHUNK resume="$CKPT" save="$CKPT" \
+    steps=$CHUNK resume="$CKPT" save="$CKPT" save_every=50 \
     dataset=${CAT}_train task=$TASK task.num_envs=8 seed=7 \
     img_size=192 backend=resnet18 backbone_stride=32 volume_scale=8 \
     n_depth=16 d_interval=0.15 warp_mode=nearest "${EXTRA[@]}" >> "$LOG" 2>&1
   rc=$?
   snapshot
   if [ "$rc" -ne 0 ]; then
-    if timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then
+    MTIME_AFTER=$(stat -c %Y "$CKPT" 2>/dev/null || echo 0)
+    if [ "$MTIME_AFTER" -gt "$MTIME_BEFORE" ]; then
+      # the chunk advanced the checkpoint before dying (e.g. a congested
+      # tunnel crawling below the chunk timeout) — that is PROGRESS, not a
+      # deterministic failure; training resumes from the saved steps
+      FAILS=0
+      echo "[watch] $(date -u) chunk rc=$rc but ckpt advanced — congested, continuing" >> "$LOG"
+    elif timeout 90 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >/dev/null 2>&1; then
       FAILS=$((FAILS + 1))
       echo "[watch] $(date -u) chunk rc=$rc with tunnel UP (fail $FAILS/3)" >> "$LOG"
       if [ "$FAILS" -ge 3 ]; then
