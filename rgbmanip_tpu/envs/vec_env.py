@@ -13,6 +13,8 @@ scene generation, rewards, success, gt bboxes) mirror
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..assets import panda, procedural
@@ -64,7 +66,11 @@ class VecManipulationEnv:
         self.viewerless = viewerless
 
         self._rng = np.random.default_rng(seed)
-        self.pool = SimPool(self.num_envs)
+        # RGBMANIP_SIM_THREADS overrides the C++ pool's worker count
+        # (default: hardware_concurrency - 2); used for production tuning
+        # and the thread-scaling measurement (scripts/bench_sim_scaling.py)
+        self.pool = SimPool(self.num_envs,
+                            int(os.environ.get("RGBMANIP_SIM_THREADS", "0")))
         # per-phase wall-clock accounting (sim / plan / render), the
         # observability the reference lacks (SURVEY.md §5.1)
         self.timer = PhaseTimer()

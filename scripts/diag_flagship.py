@@ -84,8 +84,8 @@ def main():
         "manipulation=open_cabinet", "controller=rl",
         f"controller.load={rl_ckpt}",
         "pose_estimator=adapose_cabinet_fast",
-        "pose_estimator.checkpoint_path="
-        "checkpoints/estimator_fast_cabinet_dagger_r3.ckpt",
+        "pose_estimator.checkpoint_path=" + __import__("os").environ.get(
+            "EST_CKPT", "checkpoints/estimator_fast_cabinet_dagger_r3.ckpt"),
         "train=test", f"task.num_envs={num_envs}", "seed=11",
         "exp_name=diag_flagship",
     ])
