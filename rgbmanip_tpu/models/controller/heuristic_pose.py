@@ -45,5 +45,13 @@ class HeuristicPoseController(BaseController):
                 img_1["camera0"]["Color"], mask_1, img_1["camera0"]["Extrinsic"],
                 img_2["camera0"]["Color"], mask_2, img_2["camera0"]["Extrinsic"],
             ))
+        # Corner read kept at the reference's (1, 7) (heuristic_pose.py:69-81).
+        # NOTE (r5, measured): in the shared corner ordering (lib/utils.py:
+        # 40-58) these are not an opposite pair — their midpoint is the box
+        # center MINUS half-extent along part-local z. An A/B with the true
+        # (0, 7) box center DROPPED mug success 37.5 -> 26.9 (104 eps): the
+        # skill's approach geometry is empirically calibrated to the (1, 7)
+        # read (the offset lands the grip nearer the handle bar plane), so
+        # the reference behavior is also the better-performing one.
         center, direction = bbox_to_center_axes(bbox, center_corners=(1, 7))
         self.manipulation.plan_pathway(center, direction, eval)
