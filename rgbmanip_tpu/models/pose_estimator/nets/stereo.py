@@ -450,6 +450,16 @@ class StereoPoseNetWithDepth(nn.Module):
                                  # channels before warping (shrinks the warp
                                  # gathers + volume ~C/32x; changes the
                                  # architecture -> train with it on)
+    fuse_views: bool = True      # eval-mode throughput: run the per-view
+                                 # towers (PSPNet, NOCS heads, CostRegNet,
+                                 # point ops, pose heads) ONCE on the two
+                                 # views stacked along batch instead of
+                                 # twice at B. Mathematically exact when
+                                 # train=False (BatchNorm uses running
+                                 # stats; everything else is per-sample) —
+                                 # asserted by tests/test_fuse_views.py.
+                                 # Train mode always uses the per-view path
+                                 # so BN batch statistics are unchanged.
     realworld_pts: bool = False  # real-demo variant: the pose branch consumes
                                  # an MLP over (px, py, depth) per point —
                                  # original-frame pixel coords + predicted
@@ -469,8 +479,14 @@ class StereoPoseNetWithDepth(nn.Module):
         psp = PSPNet(backend=self.backend, backbone_stride=self.backbone_stride,
                      dtype=self.dtype, name="img_extractor")
         fs = self.backbone_stride // 8   # feature-map stride wrt S
-        f1 = psp(v1_img, train)   # (B, S/fs, S/fs, 32)
-        f2 = psp(v2_img, train)
+        # two-view batching (eval only — see fuse_views)
+        fuse2 = self.fuse_views and not train and not self.realworld_pts
+        if fuse2:
+            f12 = psp(jnp.concatenate([v1_img, v2_img], 0), train)
+            f1, f2 = f12[:B], f12[B:]
+        else:
+            f1 = psp(v1_img, train)   # (B, S/fs, S/fs, 32)
+            f2 = psp(v2_img, train)
 
         vs = self.volume_scale
         if vs % fs != 0:
@@ -542,24 +558,39 @@ class StereoPoseNetWithDepth(nn.Module):
                                name="instance_color")
         nocs_head = MLP1D((128, 64, 3), final="tanh", dtype=self.dtype,
                           name="nocs_head")
-        n1 = instance_color(gather_pts(f1, v1_choose))
-        n2 = instance_color(gather_pts(f2, v2_choose))
-        nocs1 = nocs_head(n1)     # (B, N, 3)
-        nocs2 = nocs_head(n2)
+        if fuse2:
+            ch12 = jnp.concatenate([v1_choose, v2_choose], 0)
+            nocs12 = nocs_head(instance_color(
+                gather_pts(jnp.concatenate([f1, f2], 0), ch12)))
+            nocs1, nocs2 = nocs12[:B], nocs12[B:]
+        else:
+            nocs1 = nocs_head(instance_color(gather_pts(f1, v1_choose)))
+            nocs2 = nocs_head(instance_color(gather_pts(f2, v2_choose)))
 
         # cost regularization -> (B, Sv, Sv, D) channels-dense cost volume
         if hwd:
             reg = CostRegNet2D(base=8, dtype=self.dtype,
                                name="cost_regularization")
-            cost1 = reg(fused1.reshape(B, Sv, Sv, D * C), D, train)
-            cost2 = reg(fused2.reshape(B, Sv, Sv, D * C), D, train)
+            if fuse2:
+                cost12 = reg(jnp.concatenate([fused1, fused2],
+                                             0).reshape(2 * B, Sv, Sv, D * C),
+                             D, train)
+                cost1, cost2 = cost12[:B], cost12[B:]
+            else:
+                cost1 = reg(fused1.reshape(B, Sv, Sv, D * C), D, train)
+                cost2 = reg(fused2.reshape(B, Sv, Sv, D * C), D, train)
         else:
             reg = CostRegNet(base=8, dtype=self.dtype,
                              name="cost_regularization")
-            cost1 = jnp.moveaxis(reg(fused1, train)[..., 0], 1, -1)
-            cost2 = jnp.moveaxis(reg(fused2, train)[..., 0], 1, -1)
+            if fuse2:
+                cost12 = reg(jnp.concatenate([fused1, fused2], 0), train)
+                cost1 = jnp.moveaxis(cost12[:B, ..., 0], 1, -1)
+                cost2 = jnp.moveaxis(cost12[B:, ..., 0], 1, -1)
+            else:
+                cost1 = jnp.moveaxis(reg(fused1, train)[..., 0], 1, -1)
+                cost2 = jnp.moveaxis(reg(fused2, train)[..., 0], 1, -1)
 
-        def point_depth(cost, choose):
+        def point_depth(cost, choose, dvals):
             # cost (B, Sv, Sv, D): sample the D-vector at each chosen pixel
             # (full-res coords mapped into the reduced volume) via matmul
             # sampling
@@ -567,11 +598,19 @@ class StereoPoseNetWithDepth(nn.Module):
             px = ((choose % S).astype(jnp.float32) + 0.5) / vs - 0.5
             pts = point_sample_matmul(cost, py, px)                   # (B, N, D)
             prob = jax.nn.softmax(pts.astype(jnp.float32), axis=-1)
-            depth = (prob * depth_values[:, None, :]).sum(-1)         # (B, N)
+            depth = (prob * dvals[:, None, :]).sum(-1)                # (B, N)
             return prob, depth
 
-        prob1, depth1 = point_depth(cost1, v1_choose)
-        prob2, depth2 = point_depth(cost2, v2_choose)
+        if fuse2:
+            dv12 = jnp.concatenate([depth_values, depth_values], 0)
+            prob12, depth12 = point_depth(cost12 if hwd else
+                                          jnp.concatenate([cost1, cost2], 0),
+                                          ch12, dv12)
+            prob1, prob2 = prob12[:B], prob12[B:]
+            depth1, depth2 = depth12[:B], depth12[B:]
+        else:
+            prob1, depth1 = point_depth(cost1, v1_choose, depth_values)
+            prob2, depth2 = point_depth(cost2, v2_choose, depth_values)
 
         out = {"view1_nocs": nocs1, "view2_nocs": nocs2,
                "view1_depth": depth1, "view2_depth": depth2}
@@ -614,20 +653,27 @@ class StereoPoseNetWithDepth(nn.Module):
                 # HBM bandwidth (the (B,N,D)-indexed form profiled ~10 ms/view
                 # at B=16). In the channels-dense path the volume is already
                 # (B, Sv, Sv, D, C): the wide gather needs no transpose.
+                Bp = fused.shape[0]
                 py = jnp.clip((choose // S).astype(jnp.int32) // vs, 0, Sv - 1)
                 px = jnp.clip((choose % S).astype(jnp.int32) // vs, 0, Sv - 1)
                 if hwd:
-                    fused_t = fused.reshape(B, Sv * Sv, D * C)
+                    fused_t = fused.reshape(Bp, Sv * Sv, D * C)
                 else:
-                    fused_t = jnp.moveaxis(fused, 1, 3).reshape(B, Sv * Sv, D * C)
+                    fused_t = jnp.moveaxis(fused, 1, 3).reshape(Bp, Sv * Sv, D * C)
                 pts = flat_gather(fused_t, py * Sv + px)      # (B, N, D*C)
-                pts = pts.reshape(B, -1, D, C)
+                pts = pts.reshape(Bp, -1, D, C)
                 feat = (pts * prob[..., None].astype(pts.dtype)).sum(2)
                 nocs_feat = nocs_pts_mlp(nocs)
                 return jnp.concatenate([feat, nocs_feat.astype(pts.dtype)], axis=-1)
 
-            R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
-            R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
+            if fuse2:
+                fused12 = jnp.concatenate([fused1, fused2], 0)
+                R12, t12, s12 = heads(pose_branch(fused12, ch12, prob12, nocs12))
+                R1, t1, s1 = R12[:B], t12[:B], s12[:B]
+                R2, t2, s2 = R12[B:], t12[B:], s12[B:]
+            else:
+                R1, t1, s1 = heads(pose_branch(fused1, v1_choose, prob1, nocs1))
+                R2, t2, s2 = heads(pose_branch(fused2, v2_choose, prob2, nocs2))
             out.update({"view1_r": R1, "view1_t": t1, "view1_s": s1,
                         "view2_r": R2, "view2_t": t2, "view2_s": s2})
         return out
