@@ -138,6 +138,8 @@ class ControlInterface:
         self.pred_bbox = np.zeros((M, N, 8, 3), np.float32)
         self.gt_bbox = np.zeros((M, N, 8, 3), np.float32)
         self.available_num = np.zeros(N, np.int32)
+        self.pair_dist = np.zeros((M, N), np.float32)   # view-pair baseline
+        self.last_pair_dist = np.full(N, 1e3, np.float32)
         self.accumulate_steps = 0
 
     def reset_robot(self):
@@ -176,6 +178,21 @@ class ControlInterface:
         t = self.accumulate_steps % self.max_steps
         self.pred_bbox[t] = pred_bbox
         self.gt_bbox[t] = gt_bbox
+        self.pair_dist[t] = self.last_pair_dist
+
+    def stereo_ok(self):
+        """(M, N) bool: which per-step estimates came from a REAL stereo
+        pair — at least two valid views existed AND the pair's camera
+        centers are separated by a usable baseline. The RL policy's final
+        step often barely moves the camera (measured 1.6 cm median pair
+        distance at step 4, scripts/diag_flagship.py r5): such a pair
+        carries no triangulation signal and the estimate degrades to
+        quasi-monocular regression (31.9 cm median error for the
+        augmentation-trained estimator), so it must not be a fusion vote
+        candidate. 4 cm threshold: well above the degenerate step-4 pairs
+        (~1.6 cm) and far below genuine policy baselines (~40-60 cm)."""
+        return (np.cumsum(self.available, axis=0) >= 2) & \
+            (self.pair_dist >= 0.04)
 
     # ------------------------------------------------------------------
     def get_observation(self):
@@ -235,6 +252,11 @@ class ControlInterface:
                 extr[1, j] = extr[0, j]
                 rgb[1, j] = rgb[0, j]
                 msk[1, j] = msk[0, j]
+        # record the pair's stereo baseline (camera-center separation) for
+        # fusion candidate gating (stereo_ok); duplicated pairs read 0
+        c0 = -np.einsum("nij,ni->nj", extr[0, :, :3, :3], extr[0, :, :3, 3])
+        c1 = -np.einsum("nij,ni->nj", extr[1, :, :3, :3], extr[1, :, :3, 3])
+        self.last_pair_dist = np.linalg.norm(c0 - c1, axis=-1).astype(np.float32)
         return np.asarray(self.estimator.estimate(
             intr[0], rgb[0], msk[0], extr[0], rgb[1], msk[1], extr[1]))
 
@@ -393,7 +415,7 @@ class ControlInterface:
             if self.estimate_fusion == "consensus":
                 probe_est = consensus_fuse(
                     self.pred_bbox, self.accumulate_steps,
-                    stereo_ok=np.cumsum(self.available, axis=0) >= 2)
+                    stereo_ok=self.stereo_ok())
             self.call_manipulation(probe_est, eval=True)
             success = np.asarray(self.env.get_observation(gt=True)["success"]).reshape(-1)
 
@@ -487,9 +509,8 @@ class RLPoseController(BaseController):
         fusion = str(self.cfg.get("estimate_fusion",
                                   ctrl.get("estimate_fusion", "consensus")))
         if fusion == "consensus":
-            estimation = consensus_fuse(
-                iface.pred_bbox, cur_step,
-                stereo_ok=np.cumsum(iface.available, axis=0) >= 2)
+            estimation = consensus_fuse(iface.pred_bbox, cur_step,
+                                        stereo_ok=iface.stereo_ok())
         else:  # "last" = reference behavior (rl_pose.py:491-516)
             estimation = iface.pred_bbox[cur_step]
         iface.call_manipulation(estimation, eval)

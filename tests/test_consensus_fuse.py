@@ -105,6 +105,27 @@ def test_direction_disagreement_excluded_from_cluster():
     assert np.linalg.norm(d) > 0.05
 
 
+def test_stereo_ok_gates_on_baseline():
+    """ControlInterface.stereo_ok: an estimate is a fusion candidate only
+    when >=2 valid views existed AND the pair had a usable stereo baseline
+    (>= 4 cm camera-center separation). The RL policy's step-4 pair
+    measured 1.6 cm (diag r5) — no triangulation signal."""
+    from rgbmanip_tpu.models.controller.rl_pose import ControlInterface
+
+    class Q:
+        pass
+
+    q = Q()
+    q.available = np.array([[1.0], [1.0], [1.0], [1.0], [1.0]])
+    q.pair_dist = np.array([[1e3], [0.5], [0.6], [0.016], [0.0]])
+    ok = ControlInterface.stereo_ok(q)
+    # step 0: only one view so far -> not stereo despite big pair_dist
+    assert not ok[0, 0]
+    assert ok[1, 0] and ok[2, 0]
+    assert not ok[3, 0]  # 1.6 cm near-duplicate pair
+    assert not ok[4, 0]  # duplicated lone view (dist 0)
+
+
 def test_cluster_mean_reduces_noise():
     rng = np.random.default_rng(0)
     offs = {t: [1.0 + rng.normal(0, 0.01), 0, 0] for t in range(1, 5)}
