@@ -71,6 +71,15 @@ def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06, stereo_ok=None):
             dirs.append(d / (np.linalg.norm(d) + 1e-9))
         n = len(steps)
         if n < 3:
+            # Too few candidates for a vote. If gating left ANY usable
+            # stereo estimate, act on the LATEST one (recency, like the
+            # reference, but never a gated degenerate-pair estimate —
+            # falling back to the raw last estimate here would act on
+            # exactly the near-zero-baseline estimate the gate excluded);
+            # with no usable candidate at all, keep the reference behavior
+            # (raw last estimate).
+            if stereo_ok is not None and n >= 1:
+                out[j] = pred_bbox[steps[-1], j]
             continue
         C = np.stack(centers)
         D = np.linalg.norm(C[:, None] - C[None, :], axis=-1)

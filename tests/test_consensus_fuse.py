@@ -105,6 +105,20 @@ def test_direction_disagreement_excluded_from_cluster():
     assert np.linalg.norm(d) > 0.05
 
 
+def test_gated_fallback_prefers_latest_stereo_candidate():
+    """When gating leaves fewer than 3 candidates, the fallback must act on
+    the LATEST USABLE stereo estimate — not the raw last estimate, which is
+    exactly the degenerate near-zero-baseline estimate the gate excluded
+    (measured: aug-estimator k4 fused fell to 24% when the old fallback
+    re-admitted the gated step-4 estimate)."""
+    q = make_queue([{2: [1.0, 0, 0], 3: [1.02, 0, 0], 4: [1.4, 0, 0]}])
+    q[1, 0] = 10.0  # step-1 sentinel (invalid transit view)
+    stereo_ok = np.ones((5, 1), bool)
+    stereo_ok[4] = False  # final pair near-duplicate -> gated
+    fused = consensus_fuse(q, 4, stereo_ok=stereo_ok)
+    np.testing.assert_allclose(fused[0], q[3, 0])  # latest stereo, not q[4]
+
+
 def test_stereo_ok_gates_on_baseline():
     """ControlInterface.stereo_ok: an estimate is a fusion candidate only
     when >=2 valid views existed AND the pair had a usable stereo baseline
