@@ -58,34 +58,40 @@ def consensus_fuse(pred_bbox, cur_step, cluster_tol=0.06, stereo_ok=None):
     N = pred_bbox.shape[1]
     out = pred_bbox[cur_step].copy()
     for j in range(N):
-        steps, centers, dirs = [], [], []
+        steps, centers, dirs, voters = [], [], [], []
         for t in range(1, cur_step + 1):
             c = (pred_bbox[t, j, 0] + pred_bbox[t, j, 7]) / 2
             if np.linalg.norm(c) >= 5.0:  # sentinel bbox sits at ~+10
-                continue
-            if stereo_ok is not None and not stereo_ok[t, j]:
                 continue
             d = pred_bbox[t, j, 1] - pred_bbox[t, j, 0]
             steps.append(t)
             centers.append(c)
             dirs.append(d / (np.linalg.norm(d) + 1e-9))
-        n = len(steps)
-        if n < 3:
-            # Too few candidates for a vote. If gating left ANY usable
-            # stereo estimate, act on the LATEST one (recency, like the
-            # reference, but never a gated degenerate-pair estimate —
-            # falling back to the raw last estimate here would act on
-            # exactly the near-zero-baseline estimate the gate excluded);
-            # with no usable candidate at all, keep the reference behavior
-            # (raw last estimate).
-            if stereo_ok is not None and n >= 1:
-                out[j] = pred_bbox[steps[-1], j]
+            voters.append(stereo_ok is None or bool(stereo_ok[t, j]))
+        nv = int(np.sum(voters))
+        if nv < 3:
+            # Too few stereo candidates for a vote. If gating left ANY
+            # usable stereo estimate, act on the LATEST one (recency, like
+            # the reference, but never a gated degenerate-pair estimate —
+            # falling back to the raw last estimate would act on exactly
+            # the near-zero-baseline estimate the gate excluded); with no
+            # usable candidate at all, keep the reference behavior (raw
+            # last estimate).
+            if stereo_ok is not None and nv >= 1:
+                out[j] = pred_bbox[[s for s, v in zip(steps, voters) if v][-1], j]
             continue
+        # medoid vote runs over STEREO candidates only (a degenerate-pair
+        # estimate must not steer the vote), but gated estimates may still
+        # JOIN the averaged cluster when they agree with the stereo medoid
+        # — agreement with independent stereo consensus is itself evidence
         C = np.stack(centers)
+        n = len(steps)
+        vi = np.nonzero(voters)[0]
         D = np.linalg.norm(C[:, None] - C[None, :], axis=-1)
-        off = ~np.eye(n, dtype=bool)
-        med = np.array([np.median(D[i][off[i]]) for i in range(n)])
-        best = int(np.argmin(med - 1e-9 * np.arange(n)))  # tie -> later step
+        Dv = D[np.ix_(vi, vi)]
+        off = ~np.eye(len(vi), dtype=bool)
+        med = np.array([np.median(Dv[i][off[i]]) for i in range(len(vi))])
+        best = int(vi[np.argmin(med - 1e-9 * np.arange(len(vi)))])  # tie -> later
         agree = np.stack(dirs) @ dirs[best] > 0.0
         keep = np.nonzero((D[best] <= cluster_tol) & agree)[0]
         out[j] = pred_bbox[[steps[i] for i in keep], j].mean(axis=0)

@@ -105,6 +105,26 @@ def test_direction_disagreement_excluded_from_cluster():
     assert np.linalg.norm(d) > 0.05
 
 
+def test_gated_estimate_joins_agreeing_cluster():
+    """A gated (degenerate-pair) estimate cannot vote, but when it AGREES
+    with the stereo medoid it joins the averaged cluster — agreement with
+    independent stereo consensus is evidence, and the extra member reduces
+    cluster-mean noise (recovers the k=4 averaging benefit)."""
+    q = make_queue([{1: [1.00, 0, 0], 2: [1.02, 0, 0], 3: [0.98, 0, 0],
+                     4: [1.01, 0, 0]}])
+    stereo_ok = np.ones((5, 1), bool)
+    stereo_ok[4] = False  # degenerate final pair, but agreeing estimate
+    fused = consensus_fuse(q, 4, stereo_ok=stereo_ok)
+    expect = q[[1, 2, 3, 4], 0].mean(axis=0)   # all four average
+    np.testing.assert_allclose(fused[0], expect, atol=1e-6)
+    # ...but a DISAGREEING gated estimate stays out
+    q2 = make_queue([{1: [1.00, 0, 0], 2: [1.02, 0, 0], 3: [0.98, 0, 0],
+                      4: [1.4, 0, 0]}])
+    fused2 = consensus_fuse(q2, 4, stereo_ok=stereo_ok)
+    expect2 = q2[[1, 2, 3], 0].mean(axis=0)
+    np.testing.assert_allclose(fused2[0], expect2, atol=1e-6)
+
+
 def test_gated_fallback_prefers_latest_stereo_candidate():
     """When gating leaves fewer than 3 candidates, the fallback must act on
     the LATEST USABLE stereo estimate — not the raw last estimate, which is
