@@ -450,16 +450,21 @@ class StereoPoseNetWithDepth(nn.Module):
                                  # channels before warping (shrinks the warp
                                  # gathers + volume ~C/32x; changes the
                                  # architecture -> train with it on)
-    fuse_views: bool = True      # eval-mode throughput: run the per-view
-                                 # towers (PSPNet, NOCS heads, CostRegNet,
-                                 # point ops, pose heads) ONCE on the two
-                                 # views stacked along batch instead of
-                                 # twice at B. Mathematically exact when
-                                 # train=False (BatchNorm uses running
-                                 # stats; everything else is per-sample) —
-                                 # asserted by tests/test_fuse_views.py.
-                                 # Train mode always uses the per-view path
-                                 # so BN batch statistics are unchanged.
+    fuse_views: bool = False     # eval-mode option: run the per-view towers
+                                 # (PSPNet, NOCS heads, CostRegNet, point
+                                 # ops, pose heads) ONCE on the two views
+                                 # stacked along batch instead of twice at
+                                 # B. Mathematically exact when train=False
+                                 # (BatchNorm uses running stats; everything
+                                 # else is per-sample) — asserted by
+                                 # tests/test_fuse_views.py. Default OFF:
+                                 # measured 3.3x SLOWER on the TPU at the
+                                 # bench shapes (B=64 -> effective 128:
+                                 # 12.35 ms -> 40.89 ms per estimate — the
+                                 # doubled batch leaves XLA's good regime
+                                 # for these kernels), despite the fewer
+                                 # dispatches. Kept as an option for small-B
+                                 # serving where per-call overhead dominates.
     realworld_pts: bool = False  # real-demo variant: the pose branch consumes
                                  # an MLP over (px, py, depth) per point —
                                  # original-frame pixel coords + predicted
